@@ -1,0 +1,67 @@
+"""HiFi-Codec: HiFi-GAN encoder + GRVQ + HiFi-GAN generator.
+
+The ``VQVAE`` assembly mirrors the reference inference wrapper
+(models/hificodec/vqvae.py:12-45): ``encode(wav) -> [B, frames, 4]`` int
+tokens (the VALL-E/SoundStorm hand-off contract) and
+``decode(tokens) -> wav``.
+
+Public waveform layout: ``[B, T]`` float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig, HiFiGANEncoder, HiFiGANGenerator
+from academicodec_tpu.quant.grvq import GroupResidualVQ
+
+
+class VQVAE(nn.Module):
+    config: HiFiCodecConfig = HiFiCodecConfig()
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.config.upsample_rates))
+
+    def setup(self):
+        h = self.config
+        self.encoder = HiFiGANEncoder(config=h, dtype=self.dtype, precision=self.precision)
+        self.generator = HiFiGANGenerator(config=h, dtype=self.dtype, precision=self.precision)
+        self.quantizer = GroupResidualVQ(
+            dim=512,
+            n_codes=h.n_codes,
+            n_groups=h.n_code_groups,
+            n_residual=2,
+            codebook_loss_lambda=h.codebook_loss_lambda,
+            commitment_loss_lambda=h.commitment_loss_lambda,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self, x: jnp.ndarray, training: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Training/eval forward: ``x [B, T]`` -> ``(recon [B, T], loss_q,
+        codes [B, frames, n_res*G])`` (reference train.py:214-218)."""
+        c = self.encoder(x[..., None])
+        q, loss_q, codes = self.quantizer(c, training=training)
+        y = self.generator(q)
+        return y[..., 0], loss_q, codes
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """``x [B, T]`` -> acoustic tokens ``[B, frames, 4]``
+        (reference vqvae.py:37-45)."""
+        c = self.encoder(x[..., None])
+        _, _, codes = self.quantizer(c, training=False)
+        return codes
+
+    def decode(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """tokens ``[B, frames, 4]`` -> wav ``[B, T]``
+        (reference vqvae.py:31-35)."""
+        q = self.quantizer.embed(codes)
+        return self.generator(q)[..., 0]

@@ -1,0 +1,303 @@
+"""HiFi-GAN-style encoder/generator blocks (the HiFi-Codec backbone).
+
+Channels-last ``[B, T, C]``. Submodule names mirror the reference module
+tree (``conv_pre``, ``ups_{i}``, ``resblocks_{i}``, ``normalize_{i}``,
+``conv_post``) so torch checkpoints import as mechanical tensor reshapes.
+
+Behavioral parity target: models/hificodec/models.py:18-189 (ResBlock1/2,
+Generator) and :364-427 (Encoder, incl. the GroupNorm-on-accumulated-sum
+quirk at models.py:410-415).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from academicodec_tpu.nn.conv import Conv1d, ConvTranspose1d
+
+LRELU_SLOPE = 0.1
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    return int((kernel_size * dilation - dilation) / 2)
+
+
+def hifigan_normal_init(key, shape, dtype=jnp.float32):
+    """init_weights: normal(0, 0.01) (reference utils.py:181-184)."""
+    return 0.01 * jax.random.normal(key, shape, dtype)
+
+
+@dataclass(frozen=True)
+class HiFiCodecConfig:
+    """Typed equivalent of the reference JSON/AttrDict config
+    (egs/HiFi-Codec-*/config_*.json)."""
+
+    resblock: str = "1"
+    upsample_rates: Tuple[int, ...] = (8, 5, 4, 2)
+    upsample_kernel_sizes: Tuple[int, ...] = (16, 11, 8, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
+    resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    n_code_groups: int = 2
+    n_codes: int = 1024
+    codebook_loss_lambda: float = 1.0
+    commitment_loss_lambda: float = 0.25
+    sampling_rate: int = 24000
+    segment_size: int = 16000
+    num_mels: int = 80
+    n_fft: int = 1024
+    hop_size: int = 240
+    win_size: int = 1024
+    fmin: int = 0
+    fmax: int = 8000
+    fmax_for_loss: Any = None
+
+    @classmethod
+    def from_json(cls, d: dict) -> "HiFiCodecConfig":
+        names = {f for f in cls.__dataclass_fields__}
+        kw = {}
+        for k, v in d.items():
+            if k in names:
+                if isinstance(v, list):
+                    v = tuple(tuple(e) if isinstance(e, list) else e for e in v)
+                kw[k] = v
+        return cls(**kw)
+
+
+class ResBlock1(nn.Module):
+    """3x [lrelu -> dilated conv -> lrelu -> unit conv] with residual adds."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3, 5)
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                in_channels=self.channels,
+                out_channels=self.channels,
+                kernel_size=self.kernel_size,
+                dilation=d,
+                padding=(get_padding(self.kernel_size, d),) * 2,
+                norm="weight_norm",
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"convs1_{i}",
+            )(xt)
+            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = Conv1d(
+                in_channels=self.channels,
+                out_channels=self.channels,
+                kernel_size=self.kernel_size,
+                dilation=1,
+                padding=(get_padding(self.kernel_size, 1),) * 2,
+                norm="weight_norm",
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"convs2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class ResBlock2(nn.Module):
+    """2x [lrelu -> dilated conv] with residual adds."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Tuple[int, ...] = (1, 3)
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = Conv1d(
+                in_channels=self.channels,
+                out_channels=self.channels,
+                kernel_size=self.kernel_size,
+                dilation=d,
+                padding=(get_padding(self.kernel_size, d),) * 2,
+                norm="weight_norm",
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"convs_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class GroupNormTorch(nn.Module):
+    """GroupNorm matching torch semantics on channels-last input."""
+
+    num_groups: int
+    channels: int
+    epsilon: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,), self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.dtype)
+        B, T, C = x.shape
+        g = self.num_groups
+        xg = x.reshape(B, T, g, C // g)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return xg.reshape(B, T, C) * scale + bias
+
+
+class HiFiGANEncoder(nn.Module):
+    """Mirrored HiFi-GAN generator used as the HiFi-Codec encoder
+    (reference models.py:364-427). ``[B, T, 1]`` -> ``[B, frames, 512]``."""
+
+    config: HiFiCodecConfig
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = self.config
+        num_kernels = len(h.resblock_kernel_sizes)
+        resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        x = Conv1d(
+            in_channels=1,
+            out_channels=32,
+            kernel_size=7,
+            padding=(3, 3),
+            norm="weight_norm",
+            dtype=self.dtype,
+            precision=self.precision,
+            name="conv_pre",
+        )(x)
+        ups = list(reversed(list(zip(h.upsample_rates, h.upsample_kernel_sizes))))
+        rks = list(reversed(h.resblock_kernel_sizes))
+        rds = list(reversed(h.resblock_dilation_sizes))
+        for i, (u, k) in enumerate(ups):
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = Conv1d(
+                in_channels=32 * (2**i),
+                out_channels=32 * (2 ** (i + 1)),
+                kernel_size=k,
+                stride=u,
+                padding=((k - u) // 2,) * 2,
+                norm="weight_norm",
+                kernel_init=hifigan_normal_init,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"ups_{i}",
+            )(x)
+            ch = 32 * (2 ** (i + 1))
+            xs = None
+            for j in range(num_kernels):
+                r = resblock_cls(
+                    channels=ch,
+                    kernel_size=rks[j],
+                    dilation=tuple(rds[j]),
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"resblocks_{i * num_kernels + j}",
+                )(x)
+                # the reference normalizes the *accumulated* sum each step
+                # (models.py:410-415)
+                xs = r if xs is None else xs + r
+                xs = GroupNormTorch(
+                    num_groups=ch // 16,
+                    channels=ch,
+                    epsilon=1e-6,
+                    dtype=self.dtype,
+                    name=f"normalize_{i * num_kernels + j}",
+                )(xs)
+            x = xs / num_kernels
+        x = jax.nn.leaky_relu(x)  # default torch slope 0.01 (models.py:417)
+        x = Conv1d(
+            in_channels=512,
+            out_channels=512,
+            kernel_size=3,
+            padding=(1, 1),
+            norm="none",
+            kernel_init=hifigan_normal_init,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="conv_post",
+        )(x)
+        return x
+
+
+class HiFiGANGenerator(nn.Module):
+    """HiFi-GAN generator (reference models.py:128-189).
+    ``[B, frames, 512]`` -> ``[B, T, 1]``."""
+
+    config: HiFiCodecConfig
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = self.config
+        num_kernels = len(h.resblock_kernel_sizes)
+        resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        x = Conv1d(
+            in_channels=512,
+            out_channels=h.upsample_initial_channel,
+            kernel_size=7,
+            padding=(3, 3),
+            norm="weight_norm",
+            dtype=self.dtype,
+            precision=self.precision,
+            name="conv_pre",
+        )(x)
+        ch = h.upsample_initial_channel
+        for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = ConvTranspose1d(
+                in_channels=h.upsample_initial_channel // (2**i),
+                out_channels=h.upsample_initial_channel // (2 ** (i + 1)),
+                kernel_size=k,
+                stride=u,
+                padding=((k - u) // 2,) * 2,
+                norm="weight_norm",
+                kernel_init=hifigan_normal_init,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"ups_{i}",
+            )(x)
+            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            xs = None
+            for j, (rk, rd) in enumerate(
+                zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
+            ):
+                r = resblock_cls(
+                    channels=ch,
+                    kernel_size=rk,
+                    dilation=tuple(rd),
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"resblocks_{i * num_kernels + j}",
+                )(x)
+                xs = r if xs is None else xs + r
+            x = xs / num_kernels
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = Conv1d(
+            in_channels=ch,
+            out_channels=1,
+            kernel_size=7,
+            padding=(3, 3),
+            norm="weight_norm",
+            kernel_init=hifigan_normal_init,
+            dtype=self.dtype,
+            precision=self.precision,
+            name="conv_post",
+        )(x)
+        return jnp.tanh(x)

@@ -1,0 +1,98 @@
+"""Scan-based LSTM bottleneck in channels-last layout.
+
+TPU design: the input projection ``x @ W_ih^T`` for *all* timesteps is
+hoisted out of the recurrence into one large batched matmul (MXU work);
+``lax.scan`` then carries only the ``h @ W_hh`` recurrence. Gate order and
+parameter shapes follow the torch convention (``i, f, g, o``; ``W_ih [4H, C]``,
+``W_hh [4H, H]``) so reference checkpoints import as pure reshapes.
+
+Behavioral parity target: academicodec/modules/lstm.py:10-27 (SLSTM: stacked
+LSTM with a skip connection, hidden size == input size).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _torch_lstm_init(hidden: int):
+    bound = 1.0 / math.sqrt(hidden)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class LSTMLayer(nn.Module):
+    """Single LSTM layer over ``[B, T, C]`` -> ``[B, T, H]``."""
+
+    in_features: int
+    hidden: int
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h4 = 4 * self.hidden
+        init = _torch_lstm_init(self.hidden)
+        w_ih = self.param("weight_ih", init, (h4, self.in_features), self.dtype)
+        w_hh = self.param("weight_hh", init, (h4, self.hidden), self.dtype)
+        b_ih = self.param("bias_ih", init, (h4,), self.dtype)
+        b_hh = self.param("bias_hh", init, (h4,), self.dtype)
+
+        # One big [B*T, C] x [C, 4H] matmul up front (MXU), scan carries the rest.
+        x_proj = (
+            jnp.einsum("btc,hc->bth", x, w_ih, precision=self.precision)
+            + b_ih
+            + b_hh
+        )
+
+        B = x.shape[0]
+        h0 = jnp.zeros((B, self.hidden), self.dtype)
+        c0 = jnp.zeros((B, self.hidden), self.dtype)
+
+        def step(carry, xt):
+            h, c = carry
+            gates = xt + jnp.einsum("bh,gh->bg", h, w_hh, precision=self.precision)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            i = jax.nn.sigmoid(i)
+            f = jax.nn.sigmoid(f)
+            g = jnp.tanh(g)
+            o = jax.nn.sigmoid(o)
+            c = f * c + i * g
+            h = o * jnp.tanh(c)
+            return (h, c), h
+
+        _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+
+class SLSTM(nn.Module):
+    """Stacked LSTM with skip connection, conv layout agnostic (``[B, T, C]``)."""
+
+    dimension: int
+    num_layers: int = 2
+    skip: bool = True
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = x
+        for i in range(self.num_layers):
+            y = LSTMLayer(
+                in_features=self.dimension,
+                hidden=self.dimension,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"l{i}",
+            )(y)
+        if self.skip:
+            y = y + x
+        return y

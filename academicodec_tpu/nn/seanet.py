@@ -1,0 +1,309 @@
+"""SEANet encoder/decoder (the Encodec/SoundStream generator backbone).
+
+Channels-last, built from SConv1d / SConvTranspose1d / SLSTM. Submodule
+names carry the reference's sequential indices (``model_{i}``) so torch
+checkpoints map mechanically onto this tree (activations occupy indices in
+the reference ``nn.Sequential`` and are skipped here).
+
+Behavioral parity target: academicodec/modules/seanet.py:17-334.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from academicodec_tpu.nn.conv import SConv1d, SConvTranspose1d
+from academicodec_tpu.nn.lstm import SLSTM
+
+
+def _activation(name: str, params: dict):
+    if name == "ELU":
+        alpha = params.get("alpha", 1.0)
+        return lambda x: jax.nn.elu(x, alpha=alpha)
+    if name == "LeakyReLU":
+        slope = params.get("negative_slope", 0.01)
+        return lambda x: jax.nn.leaky_relu(x, negative_slope=slope)
+    if name == "ReLU":
+        return jax.nn.relu
+    if name == "Tanh":
+        return jnp.tanh
+    raise ValueError(f"unsupported activation {name}")
+
+
+class SEANetResnetBlock(nn.Module):
+    """[act -> SConv1d(k, dilation) -> act -> SConv1d(1)] + shortcut.
+
+    Hidden width is ``dim // compress``; the shortcut is identity
+    (``true_skip``) or a 1x1 SConv1d (reference: seanet.py:17-82).
+    """
+
+    dim: int
+    kernel_sizes: Tuple[int, ...] = (3, 1)
+    dilations: Tuple[int, ...] = (1, 1)
+    activation: str = "ELU"
+    activation_params: Any = None
+    norm: str = "weight_norm"
+    causal: bool = False
+    pad_mode: str = "reflect"
+    compress: int = 2
+    true_skip: bool = True
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = _activation(self.activation, self.activation_params or {"alpha": 1.0})
+        hidden = self.dim // self.compress
+        y = x
+        n = len(self.kernel_sizes)
+        for i, (k, d) in enumerate(zip(self.kernel_sizes, self.dilations)):
+            in_chs = self.dim if i == 0 else hidden
+            out_chs = self.dim if i == n - 1 else hidden
+            y = act(y)
+            # index 2*i+1: the reference block is Sequential(act, conv, act, conv)
+            y = SConv1d(
+                in_channels=in_chs,
+                out_channels=out_chs,
+                kernel_size=k,
+                dilation=d,
+                norm=self.norm,
+                causal=self.causal,
+                pad_mode=self.pad_mode,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"block_{2 * i + 1}",
+            )(y)
+        if self.true_skip:
+            shortcut = x
+        else:
+            shortcut = SConv1d(
+                in_channels=self.dim,
+                out_channels=self.dim,
+                kernel_size=1,
+                norm=self.norm,
+                causal=self.causal,
+                pad_mode=self.pad_mode,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="shortcut",
+            )(x)
+        return shortcut + y
+
+
+class SEANetEncoder(nn.Module):
+    """Conv stem -> per-ratio [resblocks -> act -> strided conv] -> SLSTM -> proj.
+
+    ``ratios`` are given in decoder (upsampling) order and reversed here,
+    exactly like the reference (seanet.py:85-202). Input/output: ``[B, T, C]``.
+    """
+
+    channels: int = 1
+    dimension: int = 128
+    n_filters: int = 32
+    n_residual_layers: int = 1
+    ratios: Tuple[int, ...] = (8, 5, 4, 2)
+    activation: str = "ELU"
+    activation_params: Any = None
+    norm: str = "weight_norm"
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    causal: bool = False
+    pad_mode: str = "reflect"
+    true_skip: bool = False
+    compress: int = 2
+    lstm: int = 2
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.ratios))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = _activation(self.activation, self.activation_params or {"alpha": 1.0})
+        down_ratios = list(reversed(list(self.ratios)))
+        mult = 1
+        idx = 0
+        common = dict(
+            norm=self.norm,
+            causal=self.causal,
+            pad_mode=self.pad_mode,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+        x = SConv1d(
+            in_channels=self.channels,
+            out_channels=mult * self.n_filters,
+            kernel_size=self.kernel_size,
+            name=f"model_{idx}",
+            **common,
+        )(x)
+        idx += 1
+        for ratio in down_ratios:
+            for j in range(self.n_residual_layers):
+                x = SEANetResnetBlock(
+                    dim=mult * self.n_filters,
+                    kernel_sizes=(self.residual_kernel_size, 1),
+                    dilations=(self.dilation_base**j, 1),
+                    activation=self.activation,
+                    activation_params=self.activation_params,
+                    norm=self.norm,
+                    causal=self.causal,
+                    pad_mode=self.pad_mode,
+                    compress=self.compress,
+                    true_skip=self.true_skip,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"model_{idx}",
+                )(x)
+                idx += 1
+            idx += 1  # activation occupies a sequential slot in the reference
+            x = act(x)
+            x = SConv1d(
+                in_channels=mult * self.n_filters,
+                out_channels=mult * self.n_filters * 2,
+                kernel_size=ratio * 2,
+                stride=ratio,
+                name=f"model_{idx}",
+                **common,
+            )(x)
+            idx += 1
+            mult *= 2
+        if self.lstm:
+            x = SLSTM(
+                dimension=mult * self.n_filters,
+                num_layers=self.lstm,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"model_{idx}",
+            )(x)
+            idx += 1
+        idx += 1  # final activation slot
+        x = act(x)
+        x = SConv1d(
+            in_channels=mult * self.n_filters,
+            out_channels=self.dimension,
+            kernel_size=self.last_kernel_size,
+            name=f"model_{idx}",
+            **common,
+        )(x)
+        return x
+
+
+class SEANetDecoder(nn.Module):
+    """Mirror of the encoder: proj -> SLSTM -> per-ratio [act -> convT ->
+    resblocks] -> act -> conv to audio (reference: seanet.py:205-334)."""
+
+    channels: int = 1
+    dimension: int = 128
+    n_filters: int = 32
+    n_residual_layers: int = 1
+    ratios: Tuple[int, ...] = (8, 5, 4, 2)
+    activation: str = "ELU"
+    activation_params: Any = None
+    final_activation: Optional[str] = None
+    final_activation_params: Any = None
+    norm: str = "weight_norm"
+    kernel_size: int = 7
+    last_kernel_size: int = 7
+    residual_kernel_size: int = 3
+    dilation_base: int = 2
+    causal: bool = False
+    pad_mode: str = "reflect"
+    true_skip: bool = False
+    compress: int = 2
+    lstm: int = 2
+    trim_right_ratio: float = 1.0
+    dtype: Any = jnp.float32
+    precision: Any = None
+
+    @property
+    def hop_length(self) -> int:
+        return int(np.prod(self.ratios))
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        act = _activation(self.activation, self.activation_params or {"alpha": 1.0})
+        mult = int(2 ** len(self.ratios))
+        idx = 0
+        common = dict(
+            norm=self.norm,
+            causal=self.causal,
+            pad_mode=self.pad_mode,
+            dtype=self.dtype,
+            precision=self.precision,
+        )
+        x = SConv1d(
+            in_channels=self.dimension,
+            out_channels=mult * self.n_filters,
+            kernel_size=self.kernel_size,
+            name=f"model_{idx}",
+            **common,
+        )(z)
+        idx += 1
+        if self.lstm:
+            x = SLSTM(
+                dimension=mult * self.n_filters,
+                num_layers=self.lstm,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"model_{idx}",
+            )(x)
+            idx += 1
+        for ratio in self.ratios:
+            idx += 1  # activation slot
+            x = act(x)
+            x = SConvTranspose1d(
+                in_channels=mult * self.n_filters,
+                out_channels=mult * self.n_filters // 2,
+                kernel_size=ratio * 2,
+                stride=ratio,
+                norm=self.norm,
+                causal=self.causal,
+                trim_right_ratio=self.trim_right_ratio,
+                dtype=self.dtype,
+                precision=self.precision,
+                name=f"model_{idx}",
+            )(x)
+            idx += 1
+            for j in range(self.n_residual_layers):
+                x = SEANetResnetBlock(
+                    dim=mult * self.n_filters // 2,
+                    kernel_sizes=(self.residual_kernel_size, 1),
+                    dilations=(self.dilation_base**j, 1),
+                    activation=self.activation,
+                    activation_params=self.activation_params,
+                    norm=self.norm,
+                    causal=self.causal,
+                    pad_mode=self.pad_mode,
+                    compress=self.compress,
+                    true_skip=self.true_skip,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"model_{idx}",
+                )(x)
+                idx += 1
+            mult //= 2
+        idx += 1  # final activation slot
+        x = act(x)
+        x = SConv1d(
+            in_channels=self.n_filters,
+            out_channels=self.channels,
+            kernel_size=self.last_kernel_size,
+            name=f"model_{idx}",
+            **common,
+        )(x)
+        if self.final_activation is not None:
+            final_act = _activation(
+                self.final_activation, self.final_activation_params or {}
+            )
+            x = final_act(x)
+        return x

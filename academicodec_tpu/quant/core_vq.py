@@ -1,0 +1,312 @@
+"""Residual vector quantization with EMA codebooks, TPU-native.
+
+Key departures from the reference (academicodec/quantization/core_vq.py),
+all deliberate:
+
+  * **Stacked codebooks + ``lax.scan``**: all ``n_q`` layers live in one
+    ``[n_q, bins, dim]`` array and the residual loop is a single scan, so a
+    per-step random bandwidth (``n_q``) is a traced mask — no recompiles
+    (reference loops Python-side, core_vq.py:328-346).
+  * **Functional EMA state**: ``inited/cluster_size/embed/embed_avg`` are
+    flax variables in the ``'codebook'`` collection; training applies run
+    with ``mutable=['codebook']`` and the update is pure.
+  * **Globally-correct statistics under pjit**: the one-hot stats are
+    computed on the global (sharded) batch, so GSPMD inserts the cross-chip
+    reduction automatically — every replica applies identical updates. (The
+    reference EMA-updates per-rank and only re-syncs on init/expiry,
+    core_vq.py:150-169.)
+  * **Dead-code expiry that sticks**: the reference replaces dead rows in
+    ``embed`` *before* the EMA normalization overwrites ``embed`` from
+    ``embed_avg`` (core_vq.py:217-225), so the replacement never survives
+    the step. Here expired rows get ``embed = sample``,
+    ``embed_avg = sample * threshold``, ``cluster_size = threshold`` *after*
+    the EMA update, which is the intended SoundStream behavior.
+
+Inference paths (``encode``/``decode``) are bit-compatible with the
+reference: identical distance formula, argmin tie-breaking toward the
+lowest index, float32 ``HIGHEST`` matmul precision.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+HIGHEST = lax.Precision.HIGHEST
+
+
+def _kaiming_uniform_init(key, shape, dtype=jnp.float32):
+    """torch kaiming_uniform_ default (a=sqrt(5)) on a [bins, dim] matrix."""
+    fan_in = shape[-1]
+    bound = math.sqrt(3.0) * math.sqrt(2.0 / (1.0 + 5.0)) / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def l2_distance_argmin(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """Nearest codebook row for each vector in ``x``.
+
+    Reference formula (core_vq.py:175-180): maximize
+    ``-(|x|^2 - 2 x e^T + |e|^2)``; ties break to the lowest index on both
+    sides. ``x: [N, D]``, ``embed: [bins, D]`` -> ``[N] int32``.
+    """
+    dist = -(
+        jnp.sum(jnp.square(x), axis=1, keepdims=True)
+        - 2.0 * jnp.dot(x, embed.T, precision=HIGHEST)
+        + jnp.sum(jnp.square(embed), axis=1)
+    )
+    return jnp.argmax(dist, axis=-1).astype(jnp.int32)
+
+
+def sample_vectors(key: jax.Array, samples: jnp.ndarray, num: int) -> jnp.ndarray:
+    """Sample ``num`` rows from ``samples`` (without replacement when possible)."""
+    n = samples.shape[0]
+    if n >= num:
+        idx = jax.random.permutation(key, n)[:num]
+    else:
+        idx = jax.random.randint(key, (num,), 0, n)
+    return samples[idx]
+
+
+def kmeans(
+    key: jax.Array, samples: jnp.ndarray, num_clusters: int, num_iters: int = 10
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain Lloyd's k-means, jit-safe (fixed iteration count).
+
+    Cluster assignment uses the same L2-argmin as quantization; empty
+    clusters keep their previous mean (reference: core_vq.py:72-93).
+    """
+    dim = samples.shape[-1]
+    means = sample_vectors(key, samples, num_clusters)
+
+    def body(_, means):
+        buckets = l2_distance_argmin(samples, means)
+        onehot = jax.nn.one_hot(buckets, num_clusters, dtype=samples.dtype)
+        bins = jnp.sum(onehot, axis=0)
+        new_means = jnp.dot(onehot.T, samples, precision=HIGHEST)
+        new_means = new_means / jnp.maximum(bins, 1.0)[:, None]
+        return jnp.where((bins == 0)[:, None], means, new_means)
+
+    means = lax.fori_loop(0, num_iters, body, means)
+    buckets = l2_distance_argmin(samples, means)
+    bins = jnp.sum(jax.nn.one_hot(buckets, num_clusters, dtype=samples.dtype), axis=0)
+    return means, bins
+
+
+class ResidualVQ(nn.Module):
+    """Stack of EMA-codebook vector quantizers applied to the residual.
+
+    Input/output layout: ``[B, T, D]`` (channels-last; the reference works in
+    ``[B, D, T]`` and permutes per layer, core_vq.py:285-314 — here the
+    layout is already native so there are no transposes at all).
+
+    ``__call__`` is the training/eval forward (STE + commit loss, EMA update
+    when ``training=True``); ``encode``/``decode`` are the inference paths.
+    """
+
+    num_quantizers: int
+    dim: int
+    codebook_size: int = 1024
+    decay: float = 0.99
+    epsilon: float = 1e-5
+    kmeans_init: bool = True
+    kmeans_iters: int = 50
+    threshold_ema_dead_code: float = 2.0
+    commitment_weight: float = 1.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        n_q, bins, dim = self.num_quantizers, self.codebook_size, self.dim
+
+        def embed_init():
+            if self.kmeans_init:
+                return jnp.zeros((n_q, bins, dim), self.dtype)
+            key = self.make_rng("params")
+            return _kaiming_uniform_init(key, (n_q, bins, dim), self.dtype)
+
+        self.embed_v = self.variable("codebook", "embed", embed_init)
+        self.embed_avg_v = self.variable(
+            "codebook", "embed_avg", lambda: self.embed_v.value.copy()
+        )
+        self.cluster_size_v = self.variable(
+            "codebook", "cluster_size", lambda: jnp.zeros((n_q, bins), self.dtype)
+        )
+        self.inited_v = self.variable(
+            "codebook",
+            "inited",
+            lambda: jnp.full((n_q,), not self.kmeans_init, dtype=jnp.bool_),
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        n_q: Optional[jnp.ndarray] = None,
+        training: bool = False,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Quantize ``x [B,T,D]``; returns ``(quantized [B,T,D], codes
+        [n_q_max,B,T], commit_losses [n_q_max])``. Layers ``>= n_q`` are
+        masked out (zero contribution, zero loss)."""
+        embed_v, embed_avg_v, cluster_size_v, inited_v = (
+            self.embed_v,
+            self.embed_avg_v,
+            self.cluster_size_v,
+            self.inited_v,
+        )
+        n_q_max = self.num_quantizers
+        if n_q is None:
+            n_q = n_q_max
+        n_q = jnp.asarray(n_q, jnp.int32)
+
+        rng = self.make_rng("rvq") if training else jax.random.PRNGKey(0)
+        layer_keys = jax.random.split(rng, n_q_max)
+
+        B, T, D = x.shape
+        state0 = (embed_v.value, embed_avg_v.value, cluster_size_v.value, inited_v.value)
+
+        def layer_step(carry, inputs):
+            residual, quantized_out = carry
+            (embed, embed_avg, cluster_size, inited, key, i) = inputs
+            active = i < n_q
+
+            flat = residual.reshape(-1, D)
+
+            # --- k-means init on the first active batch of this layer ---
+            def do_init(_):
+                means, bins = kmeans(key, flat, self.codebook_size, self.kmeans_iters)
+                return means, means, bins.astype(self.dtype)
+
+            def no_init(_):
+                return embed, embed_avg, cluster_size
+
+            need_init = jnp.logical_and(
+                jnp.logical_and(~inited, active), bool(training and self.kmeans_init)
+            )
+            embed, embed_avg, cluster_size = lax.cond(need_init, do_init, no_init, None)
+            inited = jnp.logical_or(inited, need_init)
+
+            # --- quantize ---
+            idx = l2_distance_argmin(flat, embed)
+            quantize = jnp.take(embed, idx, axis=0).reshape(B, T, D)
+
+            if training:
+                onehot = jax.nn.one_hot(idx, self.codebook_size, dtype=self.dtype)
+                # Global-batch statistics: under pjit these sums are global
+                # reductions (GSPMD inserts the collective), so all replicas
+                # apply the same update.
+                onehot_sum = jnp.sum(onehot, axis=0)
+                embed_sum = jnp.dot(onehot.T, flat, precision=HIGHEST)
+
+                do_update = jnp.logical_and(active, inited)
+                # Dead codes decided on pre-update stats (reference decision
+                # point, core_vq.py:159-168) but *applied* post-update so the
+                # replacement survives the EMA normalization.
+                expired = cluster_size < self.threshold_ema_dead_code
+                new_cluster = cluster_size * self.decay + onehot_sum * (1 - self.decay)
+                new_embed_avg = embed_avg * self.decay + embed_sum * (1 - self.decay)
+                csum = jnp.sum(new_cluster)
+                smoothed = (
+                    (new_cluster + self.epsilon)
+                    / (csum + self.codebook_size * self.epsilon)
+                    * csum
+                )
+                new_embed = new_embed_avg / smoothed[:, None]
+
+                if self.threshold_ema_dead_code > 0:
+                    samples = sample_vectors(key, flat, self.codebook_size)
+                    new_embed = jnp.where(expired[:, None], samples, new_embed)
+                    new_embed_avg = jnp.where(
+                        expired[:, None],
+                        samples * self.threshold_ema_dead_code,
+                        new_embed_avg,
+                    )
+                    new_cluster = jnp.where(
+                        expired, self.threshold_ema_dead_code, new_cluster
+                    )
+
+                # Skip init-step EMA: the reference quantizes with the fresh
+                # k-means codebook and immediately EMA-updates it; we match.
+                embed = jnp.where(do_update, new_embed, embed)
+                embed_avg = jnp.where(do_update, new_embed_avg, embed_avg)
+                cluster_size = jnp.where(do_update, new_cluster, cluster_size)
+
+                # Straight-through estimator + commitment loss.
+                quantize_st = residual + lax.stop_gradient(quantize - residual)
+                commit = jnp.mean(
+                    jnp.square(lax.stop_gradient(quantize) - residual)
+                )
+                loss = commit * self.commitment_weight
+            else:
+                quantize_st = quantize
+                loss = jnp.zeros((), self.dtype)
+
+            activef = active.astype(x.dtype)
+            quantize_masked = quantize_st * activef
+            # Reference algebra: the STE quantize is subtracted from the
+            # residual (core_vq.py:338-340), so deeper layers see zero
+            # gradient through the residual chain and the encoder's gradient
+            # arrives via the summed quantized_out.
+            new_residual = residual - quantize_masked
+            quantized_out = quantized_out + quantize_masked
+
+            codes = idx.reshape(B, T)
+            return (new_residual, quantized_out), (
+                codes,
+                loss * activef,
+                embed,
+                embed_avg,
+                cluster_size,
+                inited,
+            )
+
+        layer_idx = jnp.arange(n_q_max, dtype=jnp.int32)
+        (_, quantized_out), (codes, losses, embeds, embed_avgs, cluster_sizes, initeds) = lax.scan(
+            layer_step,
+            (x, jnp.zeros_like(x)),
+            (state0[0], state0[1], state0[2], state0[3], layer_keys, layer_idx),
+        )
+
+        if training and not self.is_initializing():
+            if embed_v.is_mutable():
+                embed_v.value = embeds
+                embed_avg_v.value = embed_avgs
+                cluster_size_v.value = cluster_sizes
+                inited_v.value = initeds
+
+        return quantized_out, codes, losses
+
+    def encode(self, x: jnp.ndarray, n_q: Optional[int] = None, st: int = 0) -> jnp.ndarray:
+        """Greedy residual encode: ``x [B,T,D]`` -> codes ``[n_q-st, B, T]``.
+
+        ``n_q``/``st`` are static (inference-time), so the layer loop unrolls
+        with no masking — same semantics as reference core_vq.py:348-362.
+        """
+        embed = self.embed_v.value
+        n_q = n_q or self.num_quantizers
+        B, T, D = x.shape
+
+        def step(residual, e):
+            idx = l2_distance_argmin(residual.reshape(-1, D), e)
+            q = jnp.take(e, idx, axis=0).reshape(B, T, D)
+            return residual - q, idx.reshape(B, T)
+
+        _, codes = lax.scan(step, x, embed[st:n_q])
+        return codes
+
+    def decode(self, codes: jnp.ndarray, st: int = 0) -> jnp.ndarray:
+        """Sum per-layer dequantizations: codes ``[n, B, T]`` -> ``[B, T, D]``."""
+        embed = self.embed_v.value
+        n = codes.shape[0]
+
+        def step(acc, layer):
+            e, c = layer
+            return acc + jnp.take(e, c.reshape(-1), axis=0).reshape(
+                codes.shape[1], codes.shape[2], self.dim
+            ), None
+
+        acc0 = jnp.zeros((codes.shape[1], codes.shape[2], self.dim), self.dtype)
+        out, _ = lax.scan(step, acc0, (embed[st : st + n], codes))
+        return out

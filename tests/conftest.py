@@ -1,0 +1,41 @@
+"""Test configuration: force a deterministic 8-virtual-device CPU backend.
+
+Multi-chip sharding is exercised on a virtual CPU mesh (the "fake backend"
+the reference lacks, SURVEY §4); numerical parity vs torch is done in
+float32 with HIGHEST matmul precision.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+import sys  # noqa: E402
+
+REFERENCE_ROOT = "/root/reference"
+if os.path.isdir(REFERENCE_ROOT) and REFERENCE_ROOT not in sys.path:
+    # makes `import academicodec` (the torch reference) available for
+    # golden-parity tests; guarded so tests degrade gracefully elsewhere
+    sys.path.insert(0, REFERENCE_ROOT)
+
+import pytest  # noqa: E402
+
+
+def has_reference():
+    try:
+        import academicodec  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="torch reference implementation not available"
+)
