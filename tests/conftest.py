@@ -7,13 +7,17 @@ float32 with HIGHEST matmul precision.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+# The axon TPU plugin (sitecustomize) pins jax_platforms to "axon,cpu";
+# force the CPU backend for tests — deterministic float32 parity vs torch
+# and a true 8-virtual-device mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import sys  # noqa: E402
