@@ -327,6 +327,7 @@ class MultiScaleDiscriminator(nn.Module):
     """3 scale discriminators on x1 / x2 / x4 average-pooled audio."""
 
     flavor: str = "hificodec"  # or "soundstream"
+    num_scales: int = 3
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -334,14 +335,14 @@ class MultiScaleDiscriminator(nn.Module):
     def __call__(self, x: jnp.ndarray) -> DiscOutput:
         if self.flavor == "soundstream":
             specs, slope = _SS_SCALE_SPECS, 0.2
-            norms = ("none", "none", "none")
+            norms = ("none",) * self.num_scales
         else:
             specs, slope = _HC_SCALE_SPECS, 0.1
             # reference: spectral norm on the first scale (models.py:303-306)
-            norms = ("spectral_norm", "weight_norm", "weight_norm")
+            norms = ("spectral_norm",) + ("weight_norm",) * (self.num_scales - 1)
         logits, fmaps = [], []
         z = x
-        for i in range(3):
+        for i in range(self.num_scales):
             if i != 0:
                 z = avg_pool1d(z[..., None], 4, 2, (2, 2))[..., 0]
             l, f = ScaleDiscriminator(

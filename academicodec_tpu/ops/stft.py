@@ -241,4 +241,4 @@ def mel_spectrogram_hifigan(
         mel_filterbank(sampling_rate, n_fft, num_mels, fmin, fmax, htk=False, norm="slaney")
     )
     mel = jnp.einsum("mf,bft->bmt", fb, mag)
-    return jnp.log(jnp.clip(mel, a_min=1e-5))
+    return jnp.log(jnp.clip(mel, min=1e-5))

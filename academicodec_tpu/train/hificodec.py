@@ -1,0 +1,201 @@
+"""HiFi-Codec GAN trainer: D-then-G jitted step on a data mesh.
+
+Reproduces the reference hot loop (models/hificodec/train.py:205-390):
+
+  * one generator forward per step, reused detached for the D phase and
+    with gradients for the G phase (opposite phase order vs encodec);
+  * LS-GAN losses, absolute feature loss x2, mel terms
+    ``45*L1(cfg mel) + L1(mel_512) + L1(mel_256)``, ``+ 10 * loss_q``;
+  * spectral-norm power iteration (first MSD scale) advances once per step
+    in the D phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from academicodec_tpu.losses.gan import (
+    absolute_feature_loss,
+    ls_discriminator_loss,
+    ls_generator_loss,
+)
+from academicodec_tpu.losses.mel import hifigan_mel_losses
+from academicodec_tpu.models.hificodec import VQVAE
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+from academicodec_tpu.nn.discriminators import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+    MultiScaleSTFTDiscriminator,
+)
+from academicodec_tpu.train.state import GANTrainState, make_optimizer, set_learning_rate
+
+
+@dataclasses.dataclass(frozen=True)
+class HiFiCodecTrainConfig:
+    model: HiFiCodecConfig = HiFiCodecConfig()
+    learning_rate: float = 2e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.9
+    lr_decay: float = 0.98  # per-epoch (config_24k_320d.json:8)
+    lambda_q: float = 10.0  # loss_q weight (train.py:287)
+    # discriminator topology (reference defaults; shrinkable for tests)
+    stft_filters: int = 32
+    stft_n_ffts: Tuple[int, ...] = (1024, 2048, 512, 256, 128)
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
+
+
+class _Discriminators(nn.Module):
+    """mpd + msd (hificodec flavor) + MS-STFT (train.py:77-79)."""
+
+    stft_filters: int = 32
+    stft_n_ffts: Tuple[int, ...] = (1024, 2048, 512, 256, 128)
+    mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
+    msd_scales: int = 3
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.mpd = MultiPeriodDiscriminator(
+            flavor="hificodec", periods=self.mpd_periods, dtype=self.dtype
+        )
+        self.msd = MultiScaleDiscriminator(
+            flavor="hificodec", num_scales=self.msd_scales, dtype=self.dtype
+        )
+        self.mstftd = MultiScaleSTFTDiscriminator(
+            filters=self.stft_filters,
+            n_ffts=self.stft_n_ffts,
+            hop_lengths=tuple(n // 4 for n in self.stft_n_ffts),
+            win_lengths=self.stft_n_ffts,
+            dtype=self.dtype,
+        )
+
+    def __call__(self, x: jnp.ndarray):
+        return {"mpd": self.mpd(x), "msd": self.msd(x), "mstftd": self.mstftd(x)}
+
+
+class HiFiCodecTrainer:
+    def __init__(self, config: HiFiCodecTrainConfig):
+        self.cfg = config
+        self.model = VQVAE(config=config.model)
+        self.discs = _Discriminators(
+            stft_filters=config.stft_filters,
+            stft_n_ffts=config.stft_n_ffts,
+            mpd_periods=config.mpd_periods,
+            msd_scales=config.msd_scales,
+        )
+        self.g_tx = make_optimizer(
+            "adam", config.learning_rate, config.adam_b1, config.adam_b2
+        )
+        self.d_tx = make_optimizer(
+            "adam", config.learning_rate, config.adam_b1, config.adam_b2
+        )
+
+    def init_state(self, rng: jax.Array, example_batch: jnp.ndarray) -> GANTrainState:
+        rg, rd, rs = jax.random.split(rng, 3)
+        g_vars = self.model.init({"params": rg}, example_batch, training=False)
+        d_vars = self.discs.init({"params": rd}, example_batch)
+        return GANTrainState.create(g_vars, d_vars, self.g_tx, self.d_tx, rs)
+
+    def set_epoch_lr(self, state: GANTrainState, epoch: int) -> GANTrainState:
+        lr = self.cfg.learning_rate * (self.cfg.lr_decay**epoch)
+        return state.replace(
+            g_opt_state=set_learning_rate(state.g_opt_state, lr),
+            d_opt_state=set_learning_rate(state.d_opt_state, lr),
+        )
+
+    def _mel_cfg(self) -> dict:
+        h = self.cfg.model
+        return dict(
+            n_fft=h.n_fft,
+            num_mels=h.num_mels,
+            sampling_rate=h.sampling_rate,
+            hop_size=h.hop_size,
+            win_size=h.win_size,
+            fmin=h.fmin,
+            fmax_for_loss=h.fmax_for_loss,
+        )
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(
+        self, state: GANTrainState, y: jnp.ndarray
+    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """``y: [B, T]`` ground-truth segments."""
+        cfg = self.cfg
+
+        # single generator forward (reference train.py:214-218)
+        y_g_hat, loss_q, _codes = self.model.apply(
+            {"params": state.g_params, **state.g_extra}, y, training=True
+        )
+        y_g_det = jax.lax.stop_gradient(y_g_hat)
+
+        # ---- discriminator phase first ----
+        def d_loss_fn(d_params):
+            out_real, new_spec = self.discs.apply(
+                {"params": d_params, **state.d_extra}, y, mutable=["spectral"]
+            )
+            out_gen = self.discs.apply(
+                {"params": d_params, "spectral": new_spec["spectral"]}, y_g_det
+            )
+            total = 0.0
+            for k in ("msd", "mpd", "mstftd"):
+                l, _, _ = ls_discriminator_loss(out_real[k][0], out_gen[k][0])
+                total = total + l
+            return total, new_spec
+
+        (loss_d, new_spec), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            state.d_params
+        )
+        d_updates, d_opt_state = self.d_tx.update(d_grads, state.d_opt_state, state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        d_extra = {**state.d_extra, "spectral": new_spec["spectral"]}
+
+        # ---- generator phase (rebuild the graph so grads flow through
+        # encoder/quantizer/generator; same per-step data) ----
+        def g_loss_fn(g_params):
+            y_hat, loss_q_g, _ = self.model.apply(
+                {"params": g_params, **state.g_extra}, y, training=True
+            )
+            loss_mel, mel_error = hifigan_mel_losses(y, y_hat, None, **self._mel_cfg())
+            out_real = self.discs.apply({"params": d_params, **d_extra}, y)
+            out_gen = self.discs.apply({"params": d_params, **d_extra}, y_hat)
+            total = loss_mel + cfg.lambda_q * loss_q_g
+            for k in ("msd", "mpd", "mstftd"):
+                gen_l, _ = ls_generator_loss(out_gen[k][0])
+                fm_l = absolute_feature_loss(out_real[k][1], out_gen[k][1])
+                total = total + gen_l + fm_l
+            return total, dict(loss_q=loss_q_g, mel_error=mel_error)
+
+        (loss_g, g_metrics), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.g_params
+        )
+        g_updates, g_opt_state = self.g_tx.update(g_grads, state.g_opt_state, state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = dict(loss_gen_all=loss_g, loss_disc_all=loss_d, **g_metrics)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            g_opt_state=g_opt_state,
+            d_params=d_params,
+            d_extra=d_extra,
+            d_opt_state=d_opt_state,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: GANTrainState, y: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Validation mel error (reference train.py:340-386)."""
+        y_hat, loss_q, _ = self.model.apply(
+            {"params": state.g_params, **state.g_extra}, y, training=False
+        )
+        _, mel_error = hifigan_mel_losses(y, y_hat, None, **self._mel_cfg())
+        return dict(val_mel_error=mel_error, loss_q=loss_q)
