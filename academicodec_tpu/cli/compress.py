@@ -1,0 +1,110 @@
+"""Batch compress/decompress CLI (reference: models/encodec/test.py).
+
+Round-trips every ``*.wav`` under ``--input`` through the codec and writes
+reconstructions to ``--output``; with ``--ecdc`` also writes the compressed
+``.ecdc`` bitstream per file.
+
+Checkpoints: either a framework checkpoint (``--resume_path`` pointing at an
+orbax dir) or a reference PyTorch ``.pth`` (auto-detected, imported through
+utils.torch_import — including DDP ``module.`` prefix stripping,
+test.py:172-178).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from academicodec_tpu.codec.compress import SoundStreamCompressor
+from academicodec_tpu.data.wavio import read_wav, write_wav
+from academicodec_tpu.models.soundstream import SoundStream
+
+
+def get_args():
+    p = argparse.ArgumentParser("compress")
+    p.add_argument("--input", type=str, required=True, help="wav dir")
+    p.add_argument("--output", type=str, required=True, help="output dir")
+    p.add_argument("--resume_path", type=str, required=True, help="checkpoint")
+    p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--ratios", type=int, nargs="+", default=[8, 5, 4, 2])
+    p.add_argument(
+        "--target_bandwidths", type=float, nargs="+", default=[1, 1.5, 2, 4, 6, 12]
+    )
+    p.add_argument("--target_bw", type=float, default=12)
+    p.add_argument("-r", "--rescale", action="store_true")
+    p.add_argument("--ecdc", action="store_true", help="also write .ecdc streams")
+    return p.parse_args()
+
+
+def check_clipping(wav: np.ndarray, rescale: bool) -> None:
+    if rescale:
+        return
+    mx = np.abs(wav).max()
+    if mx > 0.99:
+        print(
+            f"Clipping!! max scale {mx}, limit is 0.99. Use -r to rescale.",
+            file=sys.stderr,
+        )
+
+
+def save_audio(wav: np.ndarray, path: str, sr: int, rescale: bool) -> None:
+    limit = 0.99
+    mx = np.abs(wav).max()
+    if rescale:
+        wav = wav * min(limit / max(mx, 1e-9), 1.0)
+    else:
+        wav = np.clip(wav, -limit, limit)
+    write_wav(path, wav, sr)
+
+
+def load_model_variables(path: str, model: SoundStream):
+    if os.path.isfile(path) and path.endswith((".pth", ".pt")):
+        import torch
+
+        from academicodec_tpu.utils.torch_import import import_soundstream
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+        return import_soundstream(sd, n_q=model.n_q)
+    from academicodec_tpu.utils.checkpoint import load_checkpoint
+
+    state = load_checkpoint(path)
+    if "params" in state:
+        return state
+    # full train state: pull the generator side
+    return {"params": state["g_params"], **state["g_extra"]}
+
+
+def main():
+    args = get_args()
+    model = SoundStream(
+        n_filters=32,
+        dimension=512,
+        ratios=tuple(args.ratios),
+        sample_rate=args.sr,
+        target_bandwidths=tuple(args.target_bandwidths),
+    )
+    variables = load_model_variables(args.resume_path, model)
+    compressor = SoundStreamCompressor(model, variables, target_bw=args.target_bw)
+
+    os.makedirs(args.output, exist_ok=True)
+    names = sorted(f for f in os.listdir(args.input) if f.endswith(".wav"))
+    for name in names:
+        wav, _ = read_wav(os.path.join(args.input, name), sr=args.sr)
+        blob = compressor.compress(wav)
+        if args.ecdc:
+            with open(os.path.join(args.output, name[:-4] + ".ecdc"), "wb") as fh:
+                fh.write(blob)
+        out, sr = compressor.decompress(blob)
+        check_clipping(out, args.rescale)
+        save_audio(out, os.path.join(args.output, name), sr, args.rescale)
+        print(f"{name}: {len(blob)} bytes "
+              f"({8 * len(blob) / (len(wav) / args.sr) / 1000:.2f} kbps)")
+
+
+if __name__ == "__main__":
+    main()

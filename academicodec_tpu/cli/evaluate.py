@@ -1,0 +1,48 @@
+"""Objective evaluation CLI over reference-vs-degraded wav directories.
+
+Reference counterpart: evaluation_metric/calculate_voc_obj_metrics/
+(compute_pesq.py, compute_stoi.py, compute_metrics.sh) — with the stage
+off-by-one fixed (SURVEY §2.9): all requested metrics actually run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+from academicodec_tpu.data.wavio import read_wav
+from academicodec_tpu.eval.metrics import evaluate_pair
+
+
+def main():
+    p = argparse.ArgumentParser("evaluate")
+    p.add_argument("--ref_dir", type=str, required=True)
+    p.add_argument("--deg_dir", type=str, required=True)
+    p.add_argument("--sr", type=int, default=24000)
+    p.add_argument("--json_out", type=str, default=None)
+    args = p.parse_args()
+
+    names = sorted(f for f in os.listdir(args.deg_dir) if f.endswith(".wav"))
+    rows = []
+    for name in names:
+        ref_path = os.path.join(args.ref_dir, name)
+        if not os.path.exists(ref_path):
+            continue
+        ref, _ = read_wav(ref_path, sr=args.sr)
+        deg, _ = read_wav(os.path.join(args.deg_dir, name), sr=args.sr)
+        rows.append(evaluate_pair(deg, ref, args.sr))
+    if not rows:
+        raise SystemExit("no overlapping wav files found")
+    mean = {k: float(np.mean([r[k] for r in rows if k in r])) for k in rows[0]}
+    for k, v in mean.items():
+        print(f"{k}: {v:.4f}")
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump({"mean": mean, "per_file": rows}, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

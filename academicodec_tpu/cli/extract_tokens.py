@@ -1,0 +1,91 @@
+"""HiFi-Codec acoustic-token extraction + copy-synthesis CLI.
+
+Covers both reference inference surfaces:
+  * token extraction for VALL-E/SoundStorm pipelines — writes
+    ``{fid: tokens [1, T, 4]}`` to an ``.npz`` (egs/HiFi-Codec-*/infer.ipynb;
+    normalization convention: ``librosa.util.normalize(wav) * 0.95``)
+  * copy-synthesis — reconstructed wavs
+    (models/hificodec/vqvae_copy_syn.py)
+
+Checkpoint: framework orbax dir or reference torch ``g_*`` file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from academicodec_tpu.data.wavio import read_wav, write_wav
+from academicodec_tpu.models.hificodec import VQVAE
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+
+
+def get_args():
+    p = argparse.ArgumentParser("extract_tokens")
+    p.add_argument("--config", type=str, required=True, help="model config JSON")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--input", type=str, required=True, help="wav dir or filelist")
+    p.add_argument("--outputdir", type=str, required=True)
+    p.add_argument("--tokens_out", type=str, default=None, help=".npz path for tokens")
+    p.add_argument("--sample_rate", type=int, default=24000)
+    p.add_argument("--no_synth", action="store_true", help="tokens only")
+    p.add_argument("--normalize", action="store_true",
+                   help="peak-normalize *0.95 (infer.ipynb convention)")
+    return p.parse_args()
+
+
+def load_variables(path: str, model: VQVAE):
+    if os.path.isfile(path) and not os.path.isdir(path):
+        import torch
+
+        from academicodec_tpu.utils.torch_import import import_hificodec
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+        return import_hificodec(ckpt, n_groups=model.config.n_code_groups)
+    from academicodec_tpu.utils.checkpoint import load_checkpoint
+
+    state = load_checkpoint(path)
+    if "params" in state:
+        return state
+    return {"params": state["g_params"], **state["g_extra"]}
+
+
+def main():
+    args = get_args()
+    import json
+
+    with open(args.config) as fh:
+        cfg = HiFiCodecConfig.from_json(json.load(fh))
+    model = VQVAE(config=cfg)
+    variables = load_variables(args.model_path, model)
+
+    encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
+    decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
+
+    from academicodec_tpu.data.dataset import list_audio_files
+
+    files = list_audio_files(args.input)
+    os.makedirs(args.outputdir, exist_ok=True)
+    tokens_dict = {}
+    for path in files:
+        fid = os.path.splitext(os.path.basename(path))[0]
+        wav, sr = read_wav(path, sr=args.sample_rate)
+        if args.normalize:
+            peak = np.abs(wav).max() or 1.0
+            wav = wav / peak * 0.95
+        codes = np.asarray(encode(variables, wav[None, :]))
+        tokens_dict[fid] = codes
+        if not args.no_synth:
+            out = np.asarray(decode(variables, codes))[0]
+            write_wav(os.path.join(args.outputdir, fid + ".wav"), out, sr)
+        print(f"{fid}: tokens {codes.shape}")
+    if args.tokens_out:
+        np.savez(args.tokens_out, **tokens_dict)
+        print(f"wrote {len(tokens_dict)} token tensors to {args.tokens_out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Encodec/SoundStream training CLI.
+
+TPU-native replacement for the reference launch path
+(egs/Encodec_*/start.sh -> torch.distributed.launch -> main_launch.py):
+no process-per-GPU launcher — one process per host, a data mesh over all
+chips, `jax.distributed.initialize` for multi-host.
+
+Example (Encodec_16k_320d recipe):
+    python -m academicodec_tpu.cli.train_encodec \
+        --train_data_path /data/train --valid_data_path /data/valid \
+        --sr 16000 --ratios 8 5 4 2 --target_bandwidths 1 1.5 2 4 6 12 \
+        --batch_size 64 --path ckpts/encodec_16k
+
+SoundStream recipe flavor: add --soundstream (mel scales 6..10 + sim loss
++ p=0.3 mixture augmentation, egs/SoundStream_24k_240d).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import numpy as np
+
+from academicodec_tpu.data.dataset import WavCropDataset, batch_iterator
+from academicodec_tpu.parallel import make_mesh, replicate, shard_batch
+from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
+from academicodec_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    scan_checkpoint,
+)
+from academicodec_tpu.utils.logging import Logger
+
+
+def get_args():
+    p = argparse.ArgumentParser("train_encodec")
+    p.add_argument("--seed", type=int, default=6666)
+    p.add_argument("--sr", type=int, default=16000)
+    p.add_argument("--ratios", type=int, nargs="+", default=[8, 5, 4, 2])
+    p.add_argument(
+        "--target_bandwidths", type=float, nargs="+", default=[1, 1.5, 2, 4, 6, 12]
+    )
+    p.add_argument("--train_data_path", type=str, required=True)
+    p.add_argument("--valid_data_path", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=80, help="global batch size")
+    p.add_argument("--n_epochs", type=int, default=300)
+    p.add_argument("--segment_seconds", type=float, default=1.0)
+    p.add_argument("--lambda_wav", type=float, default=100.0)
+    p.add_argument("--lambda_adv", type=float, default=1.0)
+    p.add_argument("--lambda_feat", type=float, default=1.0)
+    p.add_argument("--lambda_rec", type=float, default=1.0)
+    p.add_argument("--lambda_com", type=float, default=1000.0)
+    p.add_argument("--discriminator_iter_start", type=int, default=500)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--checkpoint_interval", type=int, default=5000)
+    p.add_argument("--path", type=str, default="model_path")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--soundstream", action="store_true", help="SoundStream recipe flavor")
+    p.add_argument("--tensorboard", action="store_true")
+    p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    if args.multihost:
+        jax.distributed.initialize()
+
+    flavor = dict(
+        mel_scale_powers=tuple(range(6, 11)) if args.soundstream else tuple(range(6, 12)),
+        feat_include_sim=bool(args.soundstream),
+    )
+    cfg = EncodecTrainConfig(
+        sr=args.sr,
+        ratios=tuple(args.ratios),
+        target_bandwidths=tuple(args.target_bandwidths),
+        lambda_wav=args.lambda_wav,
+        lambda_adv=args.lambda_adv,
+        lambda_feat=args.lambda_feat,
+        lambda_rec=args.lambda_rec,
+        lambda_com=args.lambda_com,
+        discriminator_iter_start=args.discriminator_iter_start,
+        lr=args.lr,
+        **flavor,
+    )
+    trainer = EncodecTrainer(cfg)
+    logger = Logger(args.path, tensorboard=args.tensorboard, args=vars(args))
+    mesh = make_mesh()
+    logger.log_info(f"devices: {jax.devices()}")
+
+    segment = int(args.segment_seconds * args.sr)
+    train_ds = WavCropDataset(
+        args.train_data_path, segment, sample_rate=args.sr,
+        mixture_prob=0.3 if args.soundstream else 0.0, seed=args.seed,
+    )
+    valid_ds = WavCropDataset(args.valid_data_path, segment, sample_rate=args.sr)
+
+    rng = jax.random.PRNGKey(args.seed)
+    example = np.zeros((args.batch_size, segment), np.float32)
+    state = trainer.init_state(rng, example)
+    start_epoch = 0
+    if args.resume:
+        latest = scan_checkpoint(args.path, "latest")
+        if latest:
+            state = load_checkpoint(latest, template=state)
+            start_epoch = int(state.step) // max(1, len(train_ds) // args.batch_size)
+            logger.log_info(f"resumed from {latest} at step {int(state.step)}")
+    state = replicate(state, mesh)
+
+    steps_per_epoch = len(train_ds) // args.batch_size
+    for epoch in range(start_epoch, args.n_epochs + 1):
+        state = trainer.set_epoch_lr(state, epoch)
+        it = batch_iterator(
+            train_ds, args.batch_size, seed=args.seed + epoch, epochs=1
+        )
+        t_epoch = time.time()
+        for i, batch in enumerate(it):
+            state, metrics = trainer.train_step(state, shard_batch(batch, mesh))
+            if i % args.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.log_info(
+                    f"epoch {epoch} step {int(state.step)} "
+                    + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                )
+                for k, v in m.items():
+                    logger.add_scalar(f"train/{k}", v, int(state.step))
+            if int(state.step) % args.checkpoint_interval == 0:
+                save_checkpoint(args.path, "latest", int(state.step), jax.device_get(state))
+        # validation sweep (reference main_launch.py:365-429)
+        vals = []
+        for batch in batch_iterator(
+            valid_ds, args.batch_size, shuffle=False, epochs=1
+        ):
+            vals.append(trainer.eval_step(state, shard_batch(batch, mesh)))
+        if vals:
+            mean = {k: float(np.mean([float(v[k]) for v in vals])) for k in vals[0]}
+            logger.log_info(f"epoch {epoch} valid " + " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
+            for k, v in mean.items():
+                logger.add_scalar(f"valid/{k}", v, int(state.step))
+        save_checkpoint(args.path, "latest", int(state.step), jax.device_get(state))
+        logger.log_info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""HiFi-Codec training CLI (reference: egs/HiFi-Codec-*/start.sh -> train.py).
+
+Config comes from the same JSON schema as the reference
+(egs/HiFi-Codec-24k-320d/config_24k_320d.json); unknown keys are ignored.
+
+Example:
+    python -m academicodec_tpu.cli.train_hificodec \
+        --config egs/HiFi-Codec-24k-320d/config_24k_320d.json \
+        --input_training_file train.lst --input_validation_file valid.lst \
+        --checkpoint_path ckpts/hificodec_24k
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+import jax
+import numpy as np
+
+from academicodec_tpu.data.dataset import WavCropDataset, batch_iterator
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+from academicodec_tpu.parallel import make_mesh, replicate, shard_batch
+from academicodec_tpu.train.hificodec import HiFiCodecTrainConfig, HiFiCodecTrainer
+from academicodec_tpu.utils.checkpoint import (
+    load_checkpoint,
+    save_checkpoint,
+    scan_checkpoint,
+)
+from academicodec_tpu.utils.logging import Logger
+
+
+def get_args():
+    p = argparse.ArgumentParser("train_hificodec")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--input_training_file", type=str, required=True)
+    p.add_argument("--input_validation_file", type=str, required=True)
+    p.add_argument("--checkpoint_path", type=str, default="checkpoints")
+    p.add_argument("--training_epochs", type=int, default=2000)
+    p.add_argument("--stdout_interval", type=int, default=5)
+    p.add_argument("--checkpoint_interval", type=int, default=5000)
+    p.add_argument("--validation_interval", type=int, default=5000)
+    p.add_argument("--num_ckpt_keep", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=None, help="override config")
+    p.add_argument("--multihost", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    if args.multihost:
+        jax.distributed.initialize()
+
+    with open(args.config) as fh:
+        raw = json.load(fh)
+    model_cfg = HiFiCodecConfig.from_json(raw)
+    cfg = HiFiCodecTrainConfig(
+        model=model_cfg,
+        learning_rate=raw.get("learning_rate", 2e-4),
+        adam_b1=raw.get("adam_b1", 0.5),
+        adam_b2=raw.get("adam_b2", 0.9),
+        lr_decay=raw.get("lr_decay", 0.98),
+    )
+    trainer = HiFiCodecTrainer(cfg)
+    logger = Logger(args.checkpoint_path, args=vars(args))
+    # copy config next to checkpoints for provenance (reference env.py:11-16)
+    if jax.process_index() == 0:
+        os.makedirs(args.checkpoint_path, exist_ok=True)
+        dst = os.path.join(args.checkpoint_path, "config.json")
+        if os.path.abspath(args.config) != os.path.abspath(dst):
+            shutil.copyfile(args.config, dst)
+
+    mesh = make_mesh()
+    batch_size = args.batch_size or raw.get("batch_size", 16)
+    segment = model_cfg.segment_size
+    train_ds = WavCropDataset(
+        args.input_training_file, segment, sample_rate=model_cfg.sampling_rate,
+        seed=raw.get("seed", 1234),
+    )
+    valid_ds = WavCropDataset(
+        args.input_validation_file, segment, sample_rate=model_cfg.sampling_rate
+    )
+
+    rng = jax.random.PRNGKey(raw.get("seed", 1234))
+    example = np.zeros((batch_size, segment), np.float32)
+    state = trainer.init_state(rng, example)
+    start_epoch = 0
+    latest = scan_checkpoint(args.checkpoint_path, "state")
+    if latest:
+        state = load_checkpoint(latest, template=state)
+        logger.log_info(f"resumed from {latest} at step {int(state.step)}")
+    state = replicate(state, mesh)
+
+    steps_per_epoch = max(1, len(train_ds) // batch_size)
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, args.training_epochs):
+        state = trainer.set_epoch_lr(state, epoch)
+        t_epoch = time.time()
+        for batch in batch_iterator(
+            train_ds, batch_size, seed=raw.get("seed", 1234) + epoch, epochs=1
+        ):
+            t0 = time.time()
+            state, metrics = trainer.train_step(state, shard_batch(batch, mesh))
+            step = int(state.step)
+            if step % args.stdout_interval == 0:
+                logger.log_info(
+                    "Steps : {:d}, Gen Loss Total : {:4.3f}, Loss Q : {:4.3f}, "
+                    "Mel-Spec. Error : {:4.3f}, s/b : {:4.3f}".format(
+                        step,
+                        float(metrics["loss_gen_all"]),
+                        float(metrics["loss_q"]),
+                        float(metrics["mel_error"]),
+                        time.time() - t0,
+                    )
+                )
+            if step % args.checkpoint_interval == 0 and step != 0:
+                save_checkpoint(
+                    args.checkpoint_path, "state", step, jax.device_get(state),
+                    num_ckpt_keep=args.num_ckpt_keep,
+                )
+            if step % args.validation_interval == 0 and step != 0:
+                errs = []
+                for vb in batch_iterator(valid_ds, batch_size, shuffle=False, epochs=1):
+                    errs.append(float(trainer.eval_step(state, shard_batch(vb, mesh))["val_mel_error"]))
+                if errs:
+                    logger.log_info(f"validation/mel_spec_error {np.mean(errs):.4f}")
+        logger.log_info(
+            f"Time taken for epoch {epoch + 1} is {int(time.time() - t_epoch)} sec"
+        )
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

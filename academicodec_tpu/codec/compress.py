@@ -1,0 +1,106 @@
+"""Whole-file compress/decompress on top of the ECDC container.
+
+Completes the layer the reference ships orphaned (SURVEY §2.2/L2b: binary.py
+defines the format, nothing in-tree writes files with it): device-side
+``encode() -> tokens``, host-side bit packing into an ECDC stream, and the
+inverse. The metadata header carries everything needed to rebuild the
+decoder configuration.
+
+Format: ECDC header (JSON metadata: model family, sr, ratios, bandwidth,
+n_frames, audio_length) followed by the codebook indices packed LSB-first at
+``bits_per_codebook`` bits, layer-major (codes[k, b, t] iterated k, t) per
+batch item — batch size 1 per file, like the reference CLI.
+"""
+
+from __future__ import annotations
+
+import io
+import math
+from typing import Any, Optional, Tuple
+
+import numpy as np
+
+from academicodec_tpu.codec.binary import (
+    BitPacker,
+    BitUnpacker,
+    read_ecdc_header,
+    write_ecdc_header,
+)
+
+
+def compress_codes(
+    codes: np.ndarray,
+    *,
+    bits_per_codebook: int,
+    metadata: dict,
+) -> bytes:
+    """codes ``[n_q, T]`` int -> ECDC byte stream."""
+    n_q, n_frames = codes.shape
+    fo = io.BytesIO()
+    meta = dict(metadata)
+    meta.update(n_q=int(n_q), n_frames=int(n_frames), bits=int(bits_per_codebook))
+    write_ecdc_header(fo, meta)
+    packer = BitPacker(bits_per_codebook, fo)
+    for k in range(n_q):
+        for t in range(n_frames):
+            packer.push(int(codes[k, t]))
+    packer.flush()
+    return fo.getvalue()
+
+
+def decompress_codes(blob: bytes) -> Tuple[np.ndarray, dict]:
+    """ECDC byte stream -> (codes ``[n_q, T]`` int32, metadata)."""
+    fo = io.BytesIO(blob)
+    meta = read_ecdc_header(fo)
+    n_q, n_frames, bits = meta["n_q"], meta["n_frames"], meta["bits"]
+    unpacker = BitUnpacker(bits, fo)
+    out = np.zeros((n_q, n_frames), np.int32)
+    for k in range(n_q):
+        for t in range(n_frames):
+            v = unpacker.pull()
+            if v is None:
+                raise EOFError("truncated ECDC stream")
+            out[k, t] = v
+    return out, meta
+
+
+class SoundStreamCompressor:
+    """File-level compression API for a SoundStream/Encodec model.
+
+    Mirrors the reference compression CLI semantics
+    (models/encodec/test.py:102-123) plus the ECDC container.
+    """
+
+    def __init__(self, model, variables, target_bw: Optional[float] = None):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.target_bw = target_bw if target_bw is not None else model.target_bandwidths[-1]
+        self._encode = jax.jit(
+            lambda v, w: model.apply(v, w, target_bw=self.target_bw, method=type(model).encode)
+        )
+        self._decode = jax.jit(lambda v, c: model.apply(v, c, method=type(model).decode))
+
+    def compress(self, wav: np.ndarray) -> bytes:
+        """wav ``[T]`` float32 -> ECDC bytes."""
+        codes = np.asarray(self._encode(self.variables, wav[None, :]))  # [n_q, 1, T']
+        meta = dict(
+            model="soundstream",
+            sr=int(self.model.sample_rate),
+            ratios=[int(r) for r in self.model.ratios],
+            target_bw=float(self.target_bw),
+            audio_length=int(wav.shape[-1]),
+        )
+        return compress_codes(
+            codes[:, 0, :], bits_per_codebook=self.model.bits_per_codebook, metadata=meta
+        )
+
+    def decompress(self, blob: bytes) -> Tuple[np.ndarray, int]:
+        """ECDC bytes -> (wav ``[T]``, sample_rate)."""
+        codes, meta = decompress_codes(blob)
+        wav = np.asarray(self._decode(self.variables, codes[:, None, :]))[0]
+        # trim the ceil-mode padding back to the original length
+        if "audio_length" in meta:
+            wav = wav[: meta["audio_length"]]
+        return wav, meta["sr"]

@@ -1,0 +1,118 @@
+"""Host-side audio data pipeline: filelists, random crops, mixtures, batching.
+
+The reference feeds training from torch DataLoaders with CPU workers
+(models/encodec/dataset.py, models/soundstream/dataset.py,
+models/hificodec/meldataset.py). The TPU-native equivalent keeps the host
+side thin: read + crop + batch to fixed-shape float32 numpy (all static
+shapes — one compiled step), prefetch with a thread pool, and compute mels
+ON DEVICE inside the loss (unlike the reference's CPU-worker mels —
+meldataset.py:183-206 — which would starve a TPU).
+
+Covered behaviors:
+  * random fixed-length crop or zero-pad (dataset.py:23-32)
+  * p=0.3 two-clip mixture augmentation (soundstream/dataset.py:27-48)
+  * corrupt-file fallback to low-level noise (meldataset.py:143-149)
+  * filelist OR directory-glob sources (egs/util/wavlstgen.py)
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import glob
+import os
+import random
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from academicodec_tpu.data.wavio import read_wav
+
+
+def list_audio_files(source: str) -> List[str]:
+    """``source`` is a directory (globbed for ``*.wav``, recursively) or a
+    filelist with one path per line."""
+    if os.path.isdir(source):
+        files = sorted(
+            glob.glob(os.path.join(source, "*.wav"))
+            + glob.glob(os.path.join(source, "**", "*.wav"), recursive=True)
+        )
+        return sorted(set(files))
+    with open(source) as fh:
+        return [line.strip() for line in fh if line.strip()]
+
+
+class WavCropDataset:
+    """Random fixed-length crops from a list of wav files."""
+
+    def __init__(
+        self,
+        source: str,
+        segment_length: int,
+        sample_rate: Optional[int] = None,
+        mixture_prob: float = 0.0,
+        seed: int = 0,
+    ):
+        self.files = list_audio_files(source)
+        if not self.files:
+            raise ValueError(f"no audio files found in {source}")
+        self.segment_length = segment_length
+        self.sample_rate = sample_rate
+        self.mixture_prob = mixture_prob
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def _load_crop(self, path: str) -> np.ndarray:
+        seg = self.segment_length
+        try:
+            wav, _sr = read_wav(path, sr=self.sample_rate)
+        except Exception:
+            # corrupt-file fallback (reference meldataset.py:143-149)
+            return (np.random.default_rng(0).standard_normal(seg) * 0.05).astype(
+                np.float32
+            )
+        if wav.shape[-1] > seg:
+            st = self.rng.randint(0, wav.shape[-1] - seg - 1)
+            return wav[st : st + seg]
+        out = np.zeros(seg, np.float32)
+        out[: wav.shape[-1]] = wav
+        return out
+
+    def sample(self, index: int) -> np.ndarray:
+        x = self._load_crop(self.files[index % len(self.files)])
+        if self.mixture_prob > 0 and self.rng.random() > (1.0 - self.mixture_prob):
+            other = self.rng.randrange(len(self.files))
+            x = x + self._load_crop(self.files[other])
+        return x
+
+
+def batch_iterator(
+    dataset: WavCropDataset,
+    batch_size: int,
+    *,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    num_workers: int = 8,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+) -> Iterator[np.ndarray]:
+    """Yield ``[batch_size, segment_length]`` float32 batches with threaded
+    prefetch. ``epochs=None`` streams forever (set_epoch-style reshuffling
+    per pass, like the reference DistributedSampler)."""
+    order_rng = np.random.default_rng(seed)
+    n = len(dataset)
+    epoch = 0
+    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+        while epochs is None or epoch < epochs:
+            idx = np.arange(n)
+            if shuffle:
+                order_rng.shuffle(idx)
+            limit = (n // batch_size) * batch_size if drop_last else n
+            for start in range(0, limit, batch_size):
+                chunk = idx[start : start + batch_size]
+                batch = list(pool.map(dataset.sample, chunk.tolist()))
+                if len(batch) < batch_size:
+                    continue
+                yield np.stack(batch).astype(np.float32)
+            epoch += 1

@@ -1,0 +1,94 @@
+"""Objective reconstruction metrics.
+
+Native (always available): SI-SNR, multi-scale mel distance.
+External (gated imports): PESQ (``pesq``), STOI (``pystoi``) — the
+reference's evaluation tooling (evaluation_metric/calculate_voc_obj_metrics/
+metrics/compute_pesq.py:11-32, compute_stoi.py:12-27), same resample-to-16k
+convention for PESQ.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def si_snr(est: np.ndarray, ref: np.ndarray, eps: float = 1e-8) -> float:
+    """Scale-invariant SNR in dB over 1-D signals (higher is better)."""
+    n = min(est.shape[-1], ref.shape[-1])
+    est, ref = est[..., :n], ref[..., :n]
+    est = est - est.mean(axis=-1, keepdims=True)
+    ref = ref - ref.mean(axis=-1, keepdims=True)
+    proj = (np.sum(est * ref, axis=-1, keepdims=True) * ref) / (
+        np.sum(ref**2, axis=-1, keepdims=True) + eps
+    )
+    noise = est - proj
+    ratio = (np.sum(proj**2, axis=-1) + eps) / (np.sum(noise**2, axis=-1) + eps)
+    return float(np.mean(10.0 * np.log10(ratio)))
+
+
+def mel_distance(
+    est: np.ndarray, ref: np.ndarray, sr: int, n_mels: int = 64
+) -> float:
+    """Mean L1 distance between log-mels at scales 2^6..2^11 (the shape of
+    the training reconstruction loss, usable as a cheap eval proxy)."""
+    import jax.numpy as jnp
+
+    from academicodec_tpu.ops.stft import mel_spectrogram_torchaudio
+
+    n = min(est.shape[-1], ref.shape[-1])
+    e = jnp.asarray(est[..., :n]).reshape(1, -1)
+    r = jnp.asarray(ref[..., :n]).reshape(1, -1)
+    total = 0.0
+    scales = [2**i for i in range(6, 12)]
+    for s in scales:
+        me = mel_spectrogram_torchaudio(e, sr, max(s, 512), s // 4, s, n_mels=n_mels)
+        mr = mel_spectrogram_torchaudio(r, sr, max(s, 512), s // 4, s, n_mels=n_mels)
+        total += float(np.mean(np.abs(np.log(np.asarray(me) + 1e-7) - np.log(np.asarray(mr) + 1e-7))))
+    return total / len(scales)
+
+
+def pesq_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> Dict[str, float]:
+    """Narrow+wide-band PESQ at 16 kHz (resampled), reference convention."""
+    try:
+        from pesq import pesq
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("pesq is not installed; pip install pesq") from e
+    from scipy.signal import resample_poly
+
+    if sr != 16000:
+        g = math.gcd(16000, sr)
+        deg = resample_poly(deg, 16000 // g, sr // g)
+        ref = resample_poly(ref, 16000 // g, sr // g)
+    n = min(len(deg), len(ref))
+    return {
+        "pesq_nb": float(pesq(16000, ref[:n], deg[:n], "nb")),
+        "pesq_wb": float(pesq(16000, ref[:n], deg[:n], "wb")),
+    }
+
+
+def stoi_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> float:
+    try:
+        from pystoi import stoi
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("pystoi is not installed; pip install pystoi") from e
+    n = min(len(deg), len(ref))
+    return float(stoi(ref[:n], deg[:n], sr, extended=False))
+
+
+def evaluate_pair(
+    deg: np.ndarray, ref: np.ndarray, sr: int, external: bool = True
+) -> Dict[str, float]:
+    out = {"si_snr": si_snr(deg, ref), "mel_l1": mel_distance(deg, ref, sr)}
+    if external:
+        try:
+            out.update(pesq_score(deg, ref, sr))
+        except ImportError:
+            pass
+        try:
+            out["stoi"] = stoi_score(deg, ref, sr)
+        except ImportError:
+            pass
+    return out

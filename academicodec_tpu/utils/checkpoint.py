@@ -1,0 +1,69 @@
+"""Checkpoint save/load with keep-last-N rotation and latest-scan.
+
+Combines the reference's two styles (SURVEY §5): orbax-backed pytree
+checkpoints written as ``<prefix>_<step:08d>`` directories with keep-last-5
+rotation (HiFi-GAN style, reference utils.py:205-220) plus a ``latest``
+convenience pointer (Encodec style, main_launch.py:430-451). Rank-0 gating
+for multi-host runs is on ``jax.process_index() == 0``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(
+    directory: str,
+    prefix: str,
+    step: int,
+    state: Any,
+    num_ckpt_keep: int = 5,
+) -> str:
+    """Save ``state`` under ``directory/<prefix>_<step:08d>`` and rotate."""
+    if jax.process_index() != 0:
+        return ""
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, f"{prefix}_{step:08d}")
+    state = jax.device_get(state)
+    _checkpointer().save(os.path.abspath(path), state, force=True)
+    # keep-last-N rotation (reference utils.py:205-211)
+    ckpts = sorted(glob.glob(os.path.join(directory, f"{prefix}_" + "?" * 8)))
+    for old in ckpts[:-num_ckpt_keep]:
+        shutil.rmtree(old, ignore_errors=True)
+    return path
+
+
+def scan_checkpoint(directory: str, prefix: str) -> Optional[str]:
+    """Latest ``<prefix>_<step>`` checkpoint path, or None
+    (reference utils.py:215-220)."""
+    ckpts = sorted(glob.glob(os.path.join(directory, f"{prefix}_" + "?" * 8)))
+    return ckpts[-1] if ckpts else None
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree checkpoint; with ``template``, restores with that
+    exact structure/dtypes."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if template is not None:
+        return _checkpointer().restore(path, item=jax.device_get(template))
+    return _checkpointer().restore(path)
+
+
+def checkpoint_step(path: str) -> int:
+    m = re.search(r"_(\d{8})$", path)
+    return int(m.group(1)) if m else -1

@@ -1,0 +1,91 @@
+"""Headline benchmark: 24 kHz encode+decode realtime factor per chip.
+
+Runs the flagship Encodec_24k_240d-sized SoundStream (n_filters=32, D=512,
+ratios (6,5,4,2), 12 codebooks) end to end — SEANet encode, full-stack RVQ
+tokenization, RVQ decode, SEANet decode — on the default JAX backend (the
+real TPU chip under the driver) and prints ONE JSON line:
+
+    {"metric": "encode_decode_rt_factor_24k", "value": N, "unit": "x_realtime",
+     "vs_baseline": N/200}
+
+``vs_baseline`` is against the 200x-realtime-per-chip north star
+(BASELINE.md; the reference repo publishes no in-tree numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from academicodec_tpu.models.soundstream import SoundStream
+
+
+def main():
+    batch = 8
+    seconds = 10
+    sr = 24000
+
+    model = SoundStream(
+        n_filters=32,
+        dimension=512,
+        ratios=(6, 5, 4, 2),
+        sample_rate=sr,
+        target_bandwidths=(1, 2, 4, 8, 12),
+    )
+
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(rng, (batch, seconds * sr), jnp.float32) * 0.1
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        {"params": rng, "rvq": rng}, wav, n_q=model.n_q, training=False
+    )
+    # make codebooks non-degenerate so argmin work is realistic
+    cb = variables["codebook"]["quantizer"]["vq"]
+    emb = jax.random.normal(rng, cb["embed"].shape, jnp.float32)
+    variables = dict(variables)
+    variables["codebook"] = {
+        "quantizer": {
+            "vq": {
+                "embed": emb,
+                "embed_avg": emb,
+                "cluster_size": jnp.ones_like(cb["cluster_size"]),
+                "inited": jnp.ones_like(cb["inited"]),
+            }
+        }
+    }
+
+    @jax.jit
+    def roundtrip(variables, wav):
+        codes = model.apply(variables, wav, method=SoundStream.encode)
+        out = model.apply(variables, codes, method=SoundStream.decode)
+        return codes, out
+
+    # warmup / compile
+    codes, out = roundtrip(variables, wav)
+    jax.block_until_ready(out)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        codes, out = roundtrip(variables, wav)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = batch * seconds * iters
+    rt = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "encode_decode_rt_factor_24k",
+                "value": round(rt, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rt / 200.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
