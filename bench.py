@@ -19,6 +19,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from academicodec_tpu.models.soundstream import SoundStream
 
@@ -62,15 +63,16 @@ def main():
         out = model.apply(variables, codes, method=SoundStream.decode)
         return codes, out
 
-    # warmup / compile
+    # warmup / compile. NOTE: sync via host fetch — block_until_ready can
+    # return early on relayed TPU backends.
     codes, out = roundtrip(variables, wav)
-    jax.block_until_ready(out)
+    np.asarray(out)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         codes, out = roundtrip(variables, wav)
-    jax.block_until_ready(out)
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     audio_seconds = batch * seconds * iters

@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# Encodec 24 kHz / 32x hop recipe, single-codebook use case
+# (reference: egs/Encodec_24k_32d/start.sh)
+set -euo pipefail
+train_data_dir=${1:?train wav dir or filelist}
+valid_data_dir=${2:?valid wav dir or filelist}
+log_root=${3:-ckpts/encodec_24k_32d}
+python -m academicodec_tpu.cli.train_encodec \
+  --batch_size 128 --n_epochs 300 \
+  --path "${log_root}" \
+  --train_data_path "${train_data_dir}" --valid_data_path "${valid_data_dir}" \
+  --sr 24000 --ratios 2 2 2 4 \
+  --target_bandwidths 7.5 15
