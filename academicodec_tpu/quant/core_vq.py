@@ -297,16 +297,17 @@ class ResidualVQ(nn.Module):
         return codes
 
     def decode(self, codes: jnp.ndarray, st: int = 0) -> jnp.ndarray:
-        """Sum per-layer dequantizations: codes ``[n, B, T]`` -> ``[B, T, D]``."""
+        """Sum per-layer dequantizations: codes ``[n, B, T]`` -> ``[B, T, D]``.
+
+        Fused as ONE gather from the flattened ``[n*bins, dim]`` codebook
+        (per-layer index offsets folded into the codes) + a sum over layers —
+        an order of magnitude faster than a scan of per-layer takes on TPU.
+        """
         embed = self.embed_v.value
-        n = codes.shape[0]
-
-        def step(acc, layer):
-            e, c = layer
-            return acc + jnp.take(e, c.reshape(-1), axis=0).reshape(
-                codes.shape[1], codes.shape[2], self.dim
-            ), None
-
-        acc0 = jnp.zeros((codes.shape[1], codes.shape[2], self.dim), self.dtype)
-        out, _ = lax.scan(step, acc0, (embed[st : st + n], codes))
-        return out
+        n, B, T = codes.shape
+        flat_embed = embed[st : st + n].reshape(n * self.codebook_size, self.dim)
+        offsets = (jnp.arange(n, dtype=codes.dtype) * self.codebook_size).reshape(
+            n, 1, 1
+        )
+        gathered = jnp.take(flat_embed, (codes + offsets).reshape(-1), axis=0)
+        return jnp.sum(gathered.reshape(n, B, T, self.dim), axis=0)
