@@ -31,7 +31,7 @@ from academicodec_tpu.ops import padding as pad_ops
 
 Dtype = Any
 
-NORMS = ("none", "weight_norm", "spectral_norm", "time_group_norm")
+NORMS = ("none", "weight_norm", "spectral_norm", "time_group_norm", "layer_norm")
 
 
 def torch_conv_kernel_init(fan_in: int):
@@ -78,7 +78,21 @@ class _NormalizedKernel(nn.Module):
         if norm == "spectral_norm":
             w = mod.param(name, kernel_init, shape, dtype)
             return _spectral_normalize(mod, name, w)
+        # 'layer_norm' / 'time_group_norm' are post-conv activations norms
+        # (reference get_norm_module, conv.py:38-55) — plain kernel here.
         return mod.param(name, kernel_init, shape, dtype)
+
+    @staticmethod
+    def post_norm(mod: nn.Module, norm: str, channels: int, x: jnp.ndarray, dtype) -> jnp.ndarray:
+        if norm == "layer_norm":
+            from academicodec_tpu.nn.norm import ConvLayerNorm
+
+            return ConvLayerNorm(channels=channels, dtype=dtype, name="norm")(x)
+        if norm == "time_group_norm":
+            from academicodec_tpu.nn.norm import TimeGroupNorm
+
+            return TimeGroupNorm(channels=channels, dtype=dtype, name="norm")(x)
+        return x
 
 
 def _spectral_normalize(mod: nn.Module, name: str, w: jnp.ndarray) -> jnp.ndarray:
@@ -143,7 +157,7 @@ class Conv1d(nn.Module):
             if self.use_bias
             else None
         )
-        return conv_ops.conv1d(
+        y = conv_ops.conv1d(
             x,
             kernel,
             bias,
@@ -153,6 +167,7 @@ class Conv1d(nn.Module):
             padding=(self.padding,),
             precision=self.precision,
         )
+        return _NormalizedKernel.post_norm(self, self.norm, self.out_channels, y, self.dtype)
 
 
 class ConvTranspose1d(nn.Module):

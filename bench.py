@@ -29,22 +29,28 @@ def main():
     seconds = 10
     sr = 24000
 
+    # bf16 serving configuration (params + activations bf16; the codebook
+    # distance matmuls accumulate in f32). Token-parity configs are f32 and
+    # covered by tests/test_model_parity.py.
     model = SoundStream(
         n_filters=32,
         dimension=512,
         ratios=(6, 5, 4, 2),
         sample_rate=sr,
         target_bandwidths=(1, 2, 4, 8, 12),
+        dtype=jnp.bfloat16,
     )
 
     rng = jax.random.PRNGKey(0)
-    wav = jax.random.normal(rng, (batch, seconds * sr), jnp.float32) * 0.1
+    wav = (jax.random.normal(rng, (batch, seconds * sr), jnp.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
     variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": rng, "rvq": rng}, wav, n_q=model.n_q, training=False
     )
     # make codebooks non-degenerate so argmin work is realistic
     cb = variables["codebook"]["quantizer"]["vq"]
-    emb = jax.random.normal(rng, cb["embed"].shape, jnp.float32)
+    emb = jax.random.normal(rng, cb["embed"].shape, cb["embed"].dtype)
     variables = dict(variables)
     variables["codebook"] = {
         "quantizer": {
