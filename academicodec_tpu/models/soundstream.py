@@ -31,6 +31,7 @@ class SoundStream(nn.Module):
     target_bandwidths: Tuple[float, ...] = (7.5, 15.0)
     bins: int = 1024
     causal: bool = False
+    lstm_use_pallas: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -74,6 +75,7 @@ class SoundStream(nn.Module):
             dimension=self.dimension,
             ratios=tuple(self.ratios),
             causal=self.causal,
+            lstm_use_pallas=self.lstm_use_pallas,
             dtype=self.dtype,
             precision=self.precision,
         )

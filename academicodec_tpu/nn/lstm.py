@@ -6,6 +6,11 @@ hoisted out of the recurrence into one large batched matmul (MXU work);
 parameter shapes follow the torch convention (``i, f, g, o``; ``W_ih [4H, C]``,
 ``W_hh [4H, H]``) so reference checkpoints import as pure reshapes.
 
+``use_pallas=True`` (2-layer stacks) routes through the fused Pallas kernel
+(``ops/pallas/lstm.py``) that keeps weights in VMEM and advances both layers
+in lockstep — the serving fast path. The scan path is the f32
+parity/training reference.
+
 Behavioral parity target: academicodec/modules/lstm.py:10-27 (SLSTM: stacked
 LSTM with a skip connection, hidden size == input size).
 """
@@ -37,25 +42,26 @@ class LSTMLayer(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         h4 = 4 * self.hidden
         init = _torch_lstm_init(self.hidden)
-        w_ih = self.param("weight_ih", init, (h4, self.in_features), self.dtype)
-        w_hh = self.param("weight_hh", init, (h4, self.hidden), self.dtype)
-        b_ih = self.param("bias_ih", init, (h4,), self.dtype)
-        b_hh = self.param("bias_hh", init, (h4,), self.dtype)
+        self.weight_ih = self.param("weight_ih", init, (h4, self.in_features), self.dtype)
+        self.weight_hh = self.param("weight_hh", init, (h4, self.hidden), self.dtype)
+        self.bias_ih = self.param("bias_ih", init, (h4,), self.dtype)
+        self.bias_hh = self.param("bias_hh", init, (h4,), self.dtype)
 
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         # One big [B*T, C] x [C, 4H] matmul up front (MXU), scan carries the rest.
         x_proj = (
-            jnp.einsum("btc,hc->bth", x, w_ih, precision=self.precision)
-            + b_ih
-            + b_hh
+            jnp.einsum("btc,hc->bth", x, self.weight_ih, precision=self.precision)
+            + self.bias_ih
+            + self.bias_hh
         )
 
         B = x.shape[0]
         h0 = jnp.zeros((B, self.hidden), self.dtype)
         c0 = jnp.zeros((B, self.hidden), self.dtype)
+        w_hh = self.weight_hh
 
         def step(carry, xt):
             h, c = carry
@@ -79,20 +85,40 @@ class SLSTM(nn.Module):
     dimension: int
     num_layers: int = 2
     skip: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = x
-        for i in range(self.num_layers):
-            y = LSTMLayer(
+    def setup(self):
+        self.layers = [
+            LSTMLayer(
                 in_features=self.dimension,
                 hidden=self.dimension,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"l{i}",
-            )(y)
+            )
+            for i in range(self.num_layers)
+        ]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.use_pallas and self.num_layers == 2:
+            from academicodec_tpu.ops.pallas.lstm import lstm2_fused
+
+            l0, l1 = self.layers
+            y = lstm2_fused(
+                x,
+                l0.weight_ih,
+                l0.weight_hh,
+                l0.bias_ih + l0.bias_hh,
+                l1.weight_ih,
+                l1.weight_hh,
+                l1.bias_ih + l1.bias_hh,
+            )
+        else:
+            y = x
+            for layer in self.layers:
+                y = layer(y)
         if self.skip:
             y = y + x
         return y

@@ -119,6 +119,7 @@ class SEANetEncoder(nn.Module):
     true_skip: bool = False
     compress: int = 2
     lstm: int = 2
+    lstm_use_pallas: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -181,6 +182,7 @@ class SEANetEncoder(nn.Module):
             x = SLSTM(
                 dimension=mult * self.n_filters,
                 num_layers=self.lstm,
+                use_pallas=self.lstm_use_pallas,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"model_{idx}",
@@ -221,6 +223,7 @@ class SEANetDecoder(nn.Module):
     true_skip: bool = False
     compress: int = 2
     lstm: int = 2
+    lstm_use_pallas: bool = False
     trim_right_ratio: float = 1.0
     dtype: Any = jnp.float32
     precision: Any = None
@@ -253,6 +256,7 @@ class SEANetDecoder(nn.Module):
             x = SLSTM(
                 dimension=mult * self.n_filters,
                 num_layers=self.lstm,
+                use_pallas=self.lstm_use_pallas,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"model_{idx}",
