@@ -13,3 +13,6 @@ Reference capability map: /root/reference (jacquelm/AcademiCodec).
 """
 
 __version__ = "0.1.0"
+
+from academicodec_tpu.api import load_codec  # noqa: E402,F401
+from academicodec_tpu.models import presets  # noqa: E402,F401
