@@ -12,9 +12,13 @@ the device boundary is ``encode() -> int32 tokens``.
 
 from __future__ import annotations
 
+import ctypes
+import io
 import json
 import struct
 import typing as tp
+
+import numpy as np
 
 _HEADER_STRUCT = struct.Struct("!4sBI")
 _MAGIC = b"ECDC"
@@ -99,3 +103,61 @@ class BitUnpacker:
         self._acc >>= self.bits
         self._acc_bits -= self.bits
         return out
+
+
+# ---------------------------------------------------------------------------
+# vectorized array fast paths (native C++ via ctypes, Python fallback)
+# ---------------------------------------------------------------------------
+
+
+def pack_array(values: np.ndarray, bits: int) -> bytes:
+    """Pack an int array at ``bits`` bits/value — identical stream to
+    pushing each value through :class:`BitPacker` and flushing."""
+    values = np.ascontiguousarray(values, dtype=np.int32).reshape(-1)
+    from academicodec_tpu.native.build import get_bitpack_lib
+
+    lib = get_bitpack_lib()
+    if lib is not None:
+        out = np.empty((values.size * bits + 7) // 8 + 1, dtype=np.uint8)
+        n = lib.bitpack(
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            values.size,
+            bits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out[:n].tobytes()
+    fo = io.BytesIO()
+    packer = BitPacker(bits, fo)
+    for v in values.tolist():
+        packer.push(int(v))
+    packer.flush()
+    return fo.getvalue()
+
+
+def unpack_array(blob: bytes, bits: int, count: int) -> np.ndarray:
+    """Unpack exactly ``count`` values; raises EOFError on truncation."""
+    from academicodec_tpu.native.build import get_bitpack_lib
+
+    lib = get_bitpack_lib()
+    if lib is not None:
+        data = np.frombuffer(blob, dtype=np.uint8)
+        out = np.empty(count, dtype=np.int32)
+        n = lib.bitunpack(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            data.size,
+            bits,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            count,
+        )
+        if n < count:
+            raise EOFError("truncated bit stream")
+        return out
+    fo = io.BytesIO(blob)
+    unpacker = BitUnpacker(bits, fo)
+    out = np.empty(count, dtype=np.int32)
+    for i in range(count):
+        v = unpacker.pull()
+        if v is None:
+            raise EOFError("truncated bit stream")
+        out[i] = v
+    return out

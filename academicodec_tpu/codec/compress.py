@@ -21,9 +21,9 @@ from typing import Any, Optional, Tuple
 import numpy as np
 
 from academicodec_tpu.codec.binary import (
-    BitPacker,
-    BitUnpacker,
+    pack_array,
     read_ecdc_header,
+    unpack_array,
     write_ecdc_header,
 )
 
@@ -40,11 +40,7 @@ def compress_codes(
     meta = dict(metadata)
     meta.update(n_q=int(n_q), n_frames=int(n_frames), bits=int(bits_per_codebook))
     write_ecdc_header(fo, meta)
-    packer = BitPacker(bits_per_codebook, fo)
-    for k in range(n_q):
-        for t in range(n_frames):
-            packer.push(int(codes[k, t]))
-    packer.flush()
+    fo.write(pack_array(np.asarray(codes).reshape(-1), bits_per_codebook))
     return fo.getvalue()
 
 
@@ -53,15 +49,8 @@ def decompress_codes(blob: bytes) -> Tuple[np.ndarray, dict]:
     fo = io.BytesIO(blob)
     meta = read_ecdc_header(fo)
     n_q, n_frames, bits = meta["n_q"], meta["n_frames"], meta["bits"]
-    unpacker = BitUnpacker(bits, fo)
-    out = np.zeros((n_q, n_frames), np.int32)
-    for k in range(n_q):
-        for t in range(n_frames):
-            v = unpacker.pull()
-            if v is None:
-                raise EOFError("truncated ECDC stream")
-            out[k, t] = v
-    return out, meta
+    out = unpack_array(fo.read(), bits, n_q * n_frames)
+    return out.reshape(n_q, n_frames), meta
 
 
 class SoundStreamCompressor:

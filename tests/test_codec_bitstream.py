@@ -127,3 +127,26 @@ def test_compress_codes_roundtrip():
     assert meta["sr"] == 24000
     # 8 layers * 250 frames * 10 bits = 2500 bytes payload
     assert len(blob) < 2500 + 200
+
+
+def test_native_pack_matches_python_bitpacker():
+    """The C++ fast path is byte-identical to the Python BitPacker for all
+    widths, and unpack inverts it."""
+    from academicodec_tpu.codec.binary import pack_array, unpack_array
+    from academicodec_tpu.native.build import get_bitpack_lib
+
+    rng = np.random.default_rng(11)
+    for bits in (1, 3, 8, 10, 13, 16):
+        vals = rng.integers(0, 2**bits, size=999).astype(np.int32)
+        blob = pack_array(vals, bits)
+        # python reference stream
+        buf = io.BytesIO()
+        p = BitPacker(bits, buf)
+        for v in vals.tolist():
+            p.push(int(v))
+        p.flush()
+        assert blob == buf.getvalue()
+        back = unpack_array(blob, bits, len(vals))
+        np.testing.assert_array_equal(back, vals)
+    # make the intent visible in the test log
+    assert get_bitpack_lib() is not None, "native bitpack failed to build"
