@@ -32,6 +32,7 @@ from academicodec_tpu.utils.checkpoint import (
     scan_checkpoint,
 )
 from academicodec_tpu.utils.logging import Logger
+from academicodec_tpu.utils.profiling import StepTimer, param_count
 
 
 def get_args():
@@ -61,6 +62,8 @@ def get_args():
     p.add_argument("--soundstream", action="store_true", help="SoundStream recipe flavor")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-20 here")
     return p.parse_args()
 
 
@@ -109,7 +112,13 @@ def main():
             start_epoch = int(state.step) // max(1, len(train_ds) // args.batch_size)
             logger.log_info(f"resumed from {latest} at step {int(state.step)}")
     state = replicate(state, mesh)
+    logger.log_info(
+        f"generator params: {param_count(state.g_params):,}; "
+        f"discriminator params: {param_count(state.d_params):,}"
+    )
 
+    best_valid = float("inf")
+    timer = StepTimer()
     steps_per_epoch = len(train_ds) // args.batch_size
     for epoch in range(start_epoch, args.n_epochs + 1):
         state = trainer.set_epoch_lr(state, epoch)
@@ -118,15 +127,23 @@ def main():
         )
         t_epoch = time.time()
         for i, batch in enumerate(it):
+            profiling = args.profile_dir and epoch == start_epoch and i == 10
+            if profiling:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = trainer.train_step(state, shard_batch(batch, mesh))
             if i % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
+                sps = timer.tick()
+                rate = f" s/b={sps:.3f}" if sps else ""
                 logger.log_info(
                     f"epoch {epoch} step {int(state.step)} "
                     + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+                    + rate
                 )
                 for k, v in m.items():
                     logger.add_scalar(f"train/{k}", v, int(state.step))
+            if args.profile_dir and epoch == start_epoch and i == 20:
+                jax.profiler.stop_trace()
             if int(state.step) % args.checkpoint_interval == 0:
                 save_checkpoint(args.path, "latest", int(state.step), jax.device_get(state))
         # validation sweep (reference main_launch.py:365-429)
@@ -140,6 +157,11 @@ def main():
             logger.log_info(f"epoch {epoch} valid " + " ".join(f"{k}={v:.4f}" for k, v in mean.items()))
             for k, v in mean.items():
                 logger.add_scalar(f"valid/{k}", v, int(state.step))
+            # best-checkpoint tracking (reference main_launch.py:430-443)
+            if mean["valid_loss_g"] < best_valid:
+                best_valid = mean["valid_loss_g"]
+                save_checkpoint(args.path, "best", int(state.step), jax.device_get(state))
+                logger.log_info(f"new best valid_loss_g={best_valid:.4f}")
         save_checkpoint(args.path, "latest", int(state.step), jax.device_get(state))
         logger.log_info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
     logger.close()

@@ -31,6 +31,7 @@ class SoundStream(nn.Module):
     target_bandwidths: Tuple[float, ...] = (7.5, 15.0)
     bins: int = 1024
     causal: bool = False
+    pad_mode: str = "reflect"
     lstm_use_pallas: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
@@ -75,6 +76,7 @@ class SoundStream(nn.Module):
             dimension=self.dimension,
             ratios=tuple(self.ratios),
             causal=self.causal,
+            pad_mode=self.pad_mode,
             lstm_use_pallas=self.lstm_use_pallas,
             dtype=self.dtype,
             precision=self.precision,
@@ -112,3 +114,22 @@ class SoundStream(nn.Module):
         """codes ``[n, B, frames]`` -> wav ``[B, T]`` (reference net3.py:58-61)."""
         quantized = self.quantizer.decode(codes)
         return self.decoder(quantized)[..., 0]
+
+    # ------------------------------------------------------------------
+    # chunked streaming inference (causal models; see streaming.py for the
+    # session wrapper). The reference ships the causal architecture but no
+    # streaming runtime (SURVEY §5).
+    def encode_stream(
+        self, x: jnp.ndarray, target_bw: Optional[float] = None, st: int = 0
+    ) -> jnp.ndarray:
+        """One stream chunk ``[B, chunk]`` (chunk % hop_length == 0) ->
+        codes ``[n_q, B, chunk/hop]``. Apply with ``mutable=['cache']``."""
+        e = self.encoder(x[..., None], streaming=True)
+        bw = target_bw if target_bw is not None else self.target_bandwidths[-1]
+        return self.quantizer.encode(e, self.frame_rate, bw, st=st)
+
+    def decode_stream(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """One chunk of codes ``[n, B, frames]`` -> wav ``[B, frames*hop]``.
+        Apply with ``mutable=['cache']``."""
+        quantized = self.quantizer.decode(codes)
+        return self.decoder(quantized, streaming=True)[..., 0]

@@ -189,7 +189,7 @@ class ConvTranspose1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming_ola: bool = False) -> jnp.ndarray:
         k_shape = (self.kernel_size, self.in_channels, self.out_channels)
         fan_in = self.out_channels * self.kernel_size  # torch convT fan_in = out*k
         k_init = self.kernel_init or torch_conv_kernel_init(fan_in)
@@ -202,6 +202,32 @@ class ConvTranspose1d(nn.Module):
             if self.use_bias
             else None
         )
+        if streaming_ola:
+            # Chunked streaming via overlap-add: the last ``k - s`` outputs
+            # of each chunk overlap the next chunk's head. The carry is kept
+            # bias-free so overlapping samples count the bias exactly once.
+            k, s = self.kernel_size, self.stride
+            assert self.padding == (0, 0)
+            y = conv_ops.conv_transpose1d(
+                x, kernel, None, stride=s, padding=(0, 0), precision=self.precision
+            )
+            emit_len = x.shape[-2] * s
+            tail = k - s
+            ola = self.variable(
+                "cache",
+                "ola",
+                lambda: jnp.zeros((x.shape[0], tail, self.out_channels), self.dtype),
+            )
+            if tail:
+                head = y[:, :tail, :] + ola.value
+                out = jnp.concatenate([head, y[:, tail:emit_len, :]], axis=-2)
+            else:
+                out = y[:, :emit_len, :]
+            if ola.is_mutable():
+                ola.value = y[:, emit_len:, :]
+            if bias is not None:
+                out = out + bias
+            return out
         return conv_ops.conv_transpose1d(
             x, kernel, bias, stride=self.stride, padding=self.padding, precision=self.precision
         )
@@ -273,16 +299,41 @@ class SConv1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
         k, s, d = self.kernel_size, self.stride, self.dilation
         padding_total = (k - 1) * d - (s - 1)
-        extra = pad_ops.get_extra_padding_for_conv1d(x.shape[-2], k, s, padding_total)
-        if self.causal:
-            x = pad_ops.pad1d(x, (padding_total, extra), mode=self.pad_mode)
+        if streaming:
+            # Chunked causal streaming: a 'cache' buffer carries the last
+            # ``padding_total`` input samples. With chunk lengths divisible
+            # by the stride, the leftover after consuming whole windows is
+            # exactly ``padding_total`` — static shapes, one executable.
+            # The stream start is primed with zeros: exact equality with
+            # full mode for ``pad_mode='zero'`` models; reflect-padded models
+            # differ only within the first receptive field (deep layers see
+            # chunks shorter than their padding, so the full-mode reflection
+            # is not reproducible chunk-wise).
+            assert self.causal, "streaming requires a causal conv"
+            assert x.shape[-2] % s == 0, "stream chunk must be divisible by stride"
+
+            buf = self.variable(
+                "cache",
+                "buf",
+                lambda: jnp.zeros(
+                    (x.shape[0], padding_total, self.in_channels), self.dtype
+                ),
+            )
+            x_cat = jnp.concatenate([buf.value, x], axis=-2)
+            if buf.is_mutable():
+                buf.value = x_cat[:, x_cat.shape[-2] - padding_total :, :] if padding_total else x_cat[:, :0, :]
+            x = x_cat
         else:
-            pad_right = padding_total // 2
-            pad_left = padding_total - pad_right
-            x = pad_ops.pad1d(x, (pad_left, pad_right + extra), mode=self.pad_mode)
+            extra = pad_ops.get_extra_padding_for_conv1d(x.shape[-2], k, s, padding_total)
+            if self.causal:
+                x = pad_ops.pad1d(x, (padding_total, extra), mode=self.pad_mode)
+            else:
+                pad_right = padding_total // 2
+                pad_left = padding_total - pad_right
+                x = pad_ops.pad1d(x, (pad_left, pad_right + extra), mode=self.pad_mode)
         return Conv1d(
             in_channels=self.in_channels,
             out_channels=self.out_channels,
@@ -316,11 +367,11 @@ class SConvTranspose1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
         assert self.causal or self.trim_right_ratio == 1.0
         k, s = self.kernel_size, self.stride
         padding_total = k - s
-        y = ConvTranspose1d(
+        convtr = ConvTranspose1d(
             in_channels=self.in_channels,
             out_channels=self.out_channels,
             kernel_size=k,
@@ -332,7 +383,18 @@ class SConvTranspose1d(nn.Module):
             dtype=self.dtype,
             precision=self.precision,
             name="convtr",
-        )(x)
+        )
+        if streaming:
+            # With full right-trim (trim_right_ratio=1, the causal default)
+            # the samples trimmed in full mode are exactly the OLA carry, so
+            # streaming chunks emit ``T_c * s`` samples identical to the
+            # full-mode output.
+            assert self.causal and self.trim_right_ratio == 1.0, (
+                "streaming requires causal convT with trim_right_ratio=1"
+            )
+            return convtr(x, streaming_ola=True)
+
+        y = convtr(x)
         if self.causal:
             pad_right = math.ceil(padding_total * self.trim_right_ratio)
             pad_left = padding_total - pad_right

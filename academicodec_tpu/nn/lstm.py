@@ -50,7 +50,8 @@ class LSTMLayer(nn.Module):
         self.bias_ih = self.param("bias_ih", init, (h4,), self.dtype)
         self.bias_hh = self.param("bias_hh", init, (h4,), self.dtype)
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, carry=None):
+        """Returns ``(y, (h, c))``; pass ``carry`` to continue a stream."""
         # One big [B*T, C] x [C, 4H] matmul up front (MXU), scan carries the rest.
         x_proj = (
             jnp.einsum("btc,hc->bth", x, self.weight_ih, precision=self.precision)
@@ -59,8 +60,12 @@ class LSTMLayer(nn.Module):
         )
 
         B = x.shape[0]
-        h0 = jnp.zeros((B, self.hidden), self.dtype)
-        c0 = jnp.zeros((B, self.hidden), self.dtype)
+        if carry is None:
+            carry = (
+                jnp.zeros((B, self.hidden), self.dtype),
+                jnp.zeros((B, self.hidden), self.dtype),
+            )
+        h0, c0 = carry
         w_hh = self.weight_hh
 
         def step(carry, xt):
@@ -75,8 +80,8 @@ class LSTMLayer(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        _, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
-        return jnp.swapaxes(ys, 0, 1)
+        final, ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), final
 
 
 class SLSTM(nn.Module):
@@ -101,7 +106,27 @@ class SLSTM(nn.Module):
             for i in range(self.num_layers)
         ]
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def init_carry(self, batch: int):
+        z = lambda: (
+            jnp.zeros((batch, self.dimension), self.dtype),
+            jnp.zeros((batch, self.dimension), self.dtype),
+        )
+        return tuple(z() for _ in range(self.num_layers))
+
+    def __call__(self, x: jnp.ndarray, carry=None, return_carry: bool = False):
+        """``carry`` (from :meth:`init_carry`) continues a stream; with
+        ``return_carry`` the final states are returned for the caller to
+        store (the caller owns the cache — SLSTM is setup-style and cannot
+        declare flax variables itself)."""
+        if carry is not None:
+            y = x
+            finals = []
+            for layer, hc in zip(self.layers, carry):
+                y, final = layer(y, carry=hc)
+                finals.append(final)
+            if self.skip:
+                y = y + x
+            return (y, tuple(finals)) if return_carry else y
         if self.use_pallas and self.num_layers == 2:
             from academicodec_tpu.ops.pallas.lstm import lstm2_fused
 
@@ -118,7 +143,7 @@ class SLSTM(nn.Module):
         else:
             y = x
             for layer in self.layers:
-                y = layer(y)
+                y, _ = layer(y)
         if self.skip:
             y = y + x
-        return y
+        return (y, None) if return_carry else y

@@ -56,7 +56,7 @@ class SEANetResnetBlock(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
         act = _activation(self.activation, self.activation_params or {"alpha": 1.0})
         hidden = self.dim // self.compress
         y = x
@@ -77,7 +77,7 @@ class SEANetResnetBlock(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"block_{2 * i + 1}",
-            )(y)
+            )(y, streaming=streaming)
         if self.true_skip:
             shortcut = x
         else:
@@ -91,7 +91,7 @@ class SEANetResnetBlock(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 name="shortcut",
-            )(x)
+            )(x, streaming=streaming)
         return shortcut + y
 
 
@@ -128,7 +128,12 @@ class SEANetEncoder(nn.Module):
         return int(np.prod(self.ratios))
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+        if streaming:
+            assert self.causal, "streaming encode requires a causal model"
+            assert x.shape[-2] % self.hop_length == 0, (
+                "stream chunks must be a multiple of the hop length"
+            )
         act = _activation(self.activation, self.activation_params or {"alpha": 1.0})
         down_ratios = list(reversed(list(self.ratios)))
         mult = 1
@@ -146,7 +151,7 @@ class SEANetEncoder(nn.Module):
             kernel_size=self.kernel_size,
             name=f"model_{idx}",
             **common,
-        )(x)
+        )(x, streaming=streaming)
         idx += 1
         for ratio in down_ratios:
             for j in range(self.n_residual_layers):
@@ -164,7 +169,7 @@ class SEANetEncoder(nn.Module):
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"model_{idx}",
-                )(x)
+                )(x, streaming=streaming)
                 idx += 1
             idx += 1  # activation occupies a sequential slot in the reference
             x = act(x)
@@ -175,18 +180,27 @@ class SEANetEncoder(nn.Module):
                 stride=ratio,
                 name=f"model_{idx}",
                 **common,
-            )(x)
+            )(x, streaming=streaming)
             idx += 1
             mult *= 2
         if self.lstm:
-            x = SLSTM(
+            slstm = SLSTM(
                 dimension=mult * self.n_filters,
                 num_layers=self.lstm,
                 use_pallas=self.lstm_use_pallas,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"model_{idx}",
-            )(x)
+            )
+            if streaming:
+                hc = self.variable(
+                    "cache", f"model_{idx}_hc", lambda: slstm.init_carry(x.shape[0])
+                )
+                x, new_hc = slstm(x, carry=hc.value, return_carry=True)
+                if hc.is_mutable():
+                    hc.value = new_hc
+            else:
+                x = slstm(x)
             idx += 1
         idx += 1  # final activation slot
         x = act(x)
@@ -196,7 +210,7 @@ class SEANetEncoder(nn.Module):
             kernel_size=self.last_kernel_size,
             name=f"model_{idx}",
             **common,
-        )(x)
+        )(x, streaming=streaming)
         return x
 
 
@@ -233,7 +247,9 @@ class SEANetDecoder(nn.Module):
         return int(np.prod(self.ratios))
 
     @nn.compact
-    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, z: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+        if streaming:
+            assert self.causal, "streaming decode requires a causal model"
         act = _activation(self.activation, self.activation_params or {"alpha": 1.0})
         mult = int(2 ** len(self.ratios))
         idx = 0
@@ -250,17 +266,26 @@ class SEANetDecoder(nn.Module):
             kernel_size=self.kernel_size,
             name=f"model_{idx}",
             **common,
-        )(z)
+        )(z, streaming=streaming)
         idx += 1
         if self.lstm:
-            x = SLSTM(
+            slstm = SLSTM(
                 dimension=mult * self.n_filters,
                 num_layers=self.lstm,
                 use_pallas=self.lstm_use_pallas,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"model_{idx}",
-            )(x)
+            )
+            if streaming:
+                hc = self.variable(
+                    "cache", f"model_{idx}_hc", lambda: slstm.init_carry(x.shape[0])
+                )
+                x, new_hc = slstm(x, carry=hc.value, return_carry=True)
+                if hc.is_mutable():
+                    hc.value = new_hc
+            else:
+                x = slstm(x)
             idx += 1
         for ratio in self.ratios:
             idx += 1  # activation slot
@@ -276,7 +301,7 @@ class SEANetDecoder(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"model_{idx}",
-            )(x)
+            )(x, streaming=streaming)
             idx += 1
             for j in range(self.n_residual_layers):
                 x = SEANetResnetBlock(
@@ -293,7 +318,7 @@ class SEANetDecoder(nn.Module):
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"model_{idx}",
-                )(x)
+                )(x, streaming=streaming)
                 idx += 1
             mult //= 2
         idx += 1  # final activation slot
@@ -304,7 +329,7 @@ class SEANetDecoder(nn.Module):
             kernel_size=self.last_kernel_size,
             name=f"model_{idx}",
             **common,
-        )(x)
+        )(x, streaming=streaming)
         if self.final_activation is not None:
             final_act = _activation(
                 self.final_activation, self.final_activation_params or {}

@@ -20,6 +20,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# persistent compile cache: the trainer-step graphs take minutes to build on
+# CPU XLA; repeat suite runs hit the cache and finish in ~2 min
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
+except Exception:
+    pass
+
 import sys  # noqa: E402
 
 REFERENCE_ROOT = "/root/reference"
