@@ -84,7 +84,7 @@ def rvq_encode_fused(
         grid=(n_total // tile,),
         in_specs=[
             pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # codebooks stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # codebooks stay in HBM
         ],
         out_specs=pl.BlockSpec((n_q, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_q, n_total), jnp.int32),

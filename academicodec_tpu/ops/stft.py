@@ -42,7 +42,10 @@ def _hz_to_mel(f, htk: bool):
     min_log_hz = 1000.0
     min_log_mel = min_log_hz / f_sp
     logstep = np.log(6.4) / 27.0
-    return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mel)
+    f_safe = np.maximum(f, 1e-10)  # avoid log(0) in the unselected branch
+    return np.where(
+        f >= min_log_hz, min_log_mel + np.log(f_safe / min_log_hz) / logstep, mel
+    )
 
 
 def _mel_to_hz(m, htk: bool):
