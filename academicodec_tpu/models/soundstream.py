@@ -33,6 +33,7 @@ class SoundStream(nn.Module):
     causal: bool = False
     pad_mode: str = "reflect"
     lstm_use_pallas: bool = False
+    rvq_use_pallas: bool = False  # fused serving kernel (ops/pallas/rvq.py)
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -108,6 +109,12 @@ class SoundStream(nn.Module):
         """``x: [B, T]`` -> codes ``[n_q, B, frames]`` (reference net3.py:47-56)."""
         e = self.encoder(x[..., None])
         bw = target_bw if target_bw is not None else self.target_bandwidths[-1]
+        if self.rvq_use_pallas and st == 0:
+            from academicodec_tpu.ops.pallas.rvq import rvq_encode_fused_btd
+
+            n_q = self.n_q_for_bandwidth(bw)
+            embed = self.quantizer.vq.embed_v.value[:n_q]
+            return rvq_encode_fused_btd(e, embed)
         return self.quantizer.encode(e, self.frame_rate, bw, st=st)
 
     def decode(self, codes: jnp.ndarray) -> jnp.ndarray:

@@ -121,6 +121,9 @@ def lstm2_fused(
     """
     B, T, C = x.shape
     H = w_hh1.shape[1]
+    # pallas CPU lowering is interpret-only; auto-fallback keeps the
+    # use_pallas flag usable everywhere
+    interpret = interpret or jax.default_backend() == "cpu"
 
     # layer-1 input projection: one big MXU matmul over all timesteps
     x_proj = (
