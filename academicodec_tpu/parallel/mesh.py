@@ -32,7 +32,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
-    """Device-put a host pytree with its leading dim sharded over the mesh."""
+    """Device-put a host pytree with its leading dim sharded over the mesh.
+
+    Single-host: a plain sharded device_put. Multi-host: ``batch`` is this
+    process's LOCAL shard (each host loads its own slice of the global
+    batch, like the reference's DistributedSampler) and the global array is
+    assembled with ``make_array_from_process_local_data``.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils  # noqa: F401
+
+        def put(x):
+            sharding = data_sharding(mesh, np.ndim(x), axis)
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+        return jax.tree_util.tree_map(put, batch)
 
     def put(x):
         return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
