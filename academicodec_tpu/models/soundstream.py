@@ -32,6 +32,7 @@ class SoundStream(nn.Module):
     bins: int = 1024
     causal: bool = False
     pad_mode: str = "reflect"
+    norm: str = "weight_norm"
     lstm_use_pallas: bool = False
     rvq_use_pallas: bool = False  # fused serving kernel (ops/pallas/rvq.py)
     dtype: Any = jnp.float32
@@ -78,6 +79,7 @@ class SoundStream(nn.Module):
             ratios=tuple(self.ratios),
             causal=self.causal,
             pad_mode=self.pad_mode,
+            norm=self.norm,
             lstm_use_pallas=self.lstm_use_pallas,
             dtype=self.dtype,
             precision=self.precision,

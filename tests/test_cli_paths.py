@@ -58,5 +58,27 @@ def test_compress_cli_loads_torch_pth_and_roundtrips(tmp_path):
     codes, meta = decompress_codes(blob)
     np.testing.assert_array_equal(codes, codes_ref[:, 0, :])
     assert meta["model"] == "soundstream"
-    # 12 codebooks? no: bw=6 at 50 Hz frames -> 12 q? bw_per_q=0.5 -> n_q=12
+    # bw=6 kbps at 50 Hz frames, 0.5 kbps/codebook -> 12 codebooks
     assert codes.shape[0] == 12
+
+
+def test_fold_weight_norm_preserves_outputs():
+    """remove_weight_norm equivalent: folded model == weight-normed model."""
+    from academicodec_tpu.utils.fold import fold_soundstream
+
+    model = SoundStream(
+        n_filters=4, dimension=32, ratios=(8, 5, 4, 2), sample_rate=16000,
+        target_bandwidths=(1, 2, 4),
+    )
+    rng = jax.random.PRNGKey(0)
+    wav = jax.random.normal(rng, (2, 3200)) * 0.1
+    variables = model.init(
+        {"params": rng, "rvq": rng}, wav, n_q=model.n_q, training=False
+    )
+    out_ref, _, codes_ref = model.apply(variables, wav, n_q=2, training=False)
+
+    folded_model, folded_vars = fold_soundstream(model, variables)
+    assert folded_model.norm == "none"
+    out, _, codes = folded_model.apply(folded_vars, wav, n_q=2, training=False)
+    np.testing.assert_array_equal(np.asarray(codes[:2]), np.asarray(codes_ref[:2]))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5, rtol=1e-4)
