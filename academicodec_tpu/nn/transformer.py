@@ -98,7 +98,11 @@ class StreamingTransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, x_past: jnp.ndarray, past_context: int
+        self,
+        x: jnp.ndarray,
+        x_past: jnp.ndarray,
+        past_context: int,
+        offset: Any = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, T, C = x.shape
         H = x_past.shape[1]
@@ -107,6 +111,12 @@ class StreamingTransformerEncoderLayer(nn.Module):
         k_pos = jnp.arange(T + H).reshape(1, -1)
         delta = q_pos - k_pos
         valid = (delta >= 0) & (delta <= past_context)
+        if offset is not None:
+            # fixed-size rolling state: slots before the stream start are
+            # zero-padding, not history — mask them (absolute k position
+            # of buffer slot i is offset - H + i)
+            k_abs = offset - H + jnp.arange(T + H).reshape(1, -1)
+            valid = valid & (k_abs >= 0)
 
         sa_input = x
         attn = _MHA(
@@ -154,16 +164,29 @@ class StreamingTransformerEncoder(nn.Module):
     dtype: Any = jnp.float32
     precision: Any = None
 
+    def init_states(self, batch: int) -> List[jnp.ndarray]:
+        """Fixed-size rolling states (``[B, past_context, C]`` zeros per
+        layer): state shapes never change between chunks, so step-by-step
+        decoding compiles ONCE (growing states recompile every step)."""
+        return [
+            jnp.zeros((batch, self.past_context, self.dim), self.dtype)
+            for _ in range(self.num_layers)
+        ]
+
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
         states: Optional[List[jnp.ndarray]] = None,
         offset: Any = 0,
+        fixed_state: bool = False,
     ):
         B, T, C = x.shape
         if states is None:
-            states = [jnp.zeros_like(x[:, :1]) for _ in range(self.num_layers)]
+            if fixed_state:
+                states = self.init_states(B)
+            else:
+                states = [jnp.zeros_like(x[:, :1]) for _ in range(self.num_layers)]
         positions = jnp.arange(T).reshape(1, -1, 1) + offset
         pos_emb = create_sin_embedding(positions, C, max_period=self.max_period)
 
@@ -182,7 +205,7 @@ class StreamingTransformerEncoder(nn.Module):
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"layers_{i}",
-            )(x, layer_state, self.past_context)
+            )(x, layer_state, self.past_context, offset=offset if fixed_state else None)
             new_layer_state = jnp.concatenate([layer_state, new_layer_state], axis=1)
             new_states.append(new_layer_state[:, -self.past_context :, :])
         return x, new_states, offset + T
