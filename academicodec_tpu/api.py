@@ -13,7 +13,6 @@ from typing import Any, Optional, Tuple
 import jax.numpy as jnp
 
 from academicodec_tpu.models import presets
-from academicodec_tpu.models.hificodec import VQVAE
 from academicodec_tpu.models.soundstream import SoundStream
 
 

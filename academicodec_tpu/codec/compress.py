@@ -15,8 +15,7 @@ batch item — batch size 1 per file, like the reference CLI.
 from __future__ import annotations
 
 import io
-import math
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

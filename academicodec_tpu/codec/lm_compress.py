@@ -15,7 +15,7 @@ One jitted single-step executable serves both directions.
 from __future__ import annotations
 
 import io
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

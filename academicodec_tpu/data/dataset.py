@@ -21,7 +21,7 @@ import concurrent.futures as cf
 import glob
 import os
 import random
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional
 
 import numpy as np
 

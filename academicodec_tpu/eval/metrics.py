@@ -10,7 +10,7 @@ convention for PESQ.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -15,7 +15,7 @@ embedding row (index ``bins``).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ SConvTranspose1d:272-323, NormConv1d:124, NormConv2d:146).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ shared by both trainers.
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Tuple
 
 import flax.linen as nn
 import jax

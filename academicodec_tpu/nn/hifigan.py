@@ -11,8 +11,8 @@ quirk at models.py:410-415).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

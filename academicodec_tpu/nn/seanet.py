@@ -10,7 +10,7 @@ Behavioral parity target: academicodec/modules/seanet.py:17-334.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,6 @@ interpret mode (tests) it is bit-exact.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ the TPU-optimized implementation); everything is static-shaped.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax

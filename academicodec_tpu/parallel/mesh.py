@@ -40,7 +40,6 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     assembled with ``make_array_from_process_local_data``.
     """
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils  # noqa: F401
 
         def put(x):
             sharding = data_sharding(mesh, np.ndim(x), axis)

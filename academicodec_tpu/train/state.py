@@ -10,7 +10,7 @@ assignment, not a recompile.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.struct
 import jax

@@ -16,7 +16,6 @@ import shutil
 from typing import Any, Optional
 
 import jax
-import numpy as np
 
 
 def _checkpointer():

@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import json
 import os
-import sys
 import time
-from typing import Any, Optional
+from typing import Any
 
 import jax
 

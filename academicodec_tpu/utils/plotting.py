@@ -5,7 +5,7 @@ Matplotlib is optional; gated import so headless/minimal environments work.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import numpy as np
 
