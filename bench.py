@@ -25,6 +25,13 @@ from academicodec_tpu.models.soundstream import SoundStream
 
 
 def main():
+    # persistent compile cache (harmless if the backend ignores it)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
+    except Exception:
+        pass
+
     batch = 8
     seconds = 10
     sr = 24000
@@ -45,8 +52,11 @@ def main():
     wav = (jax.random.normal(rng, (batch, seconds * sr), jnp.float32) * 0.1).astype(
         jnp.bfloat16
     )
+    # init on a short input: params are length-independent and the big-shape
+    # init compile would waste minutes on relayed-compile backends
+    init_wav = jnp.zeros((1, sr), jnp.bfloat16)
     variables = jax.jit(model.init, static_argnames=("training",))(
-        {"params": rng, "rvq": rng}, wav, n_q=model.n_q, training=False
+        {"params": rng, "rvq": rng}, init_wav, n_q=model.n_q, training=False
     )
     # make codebooks non-degenerate so argmin work is realistic
     cb = variables["codebook"]["quantizer"]["vq"]
