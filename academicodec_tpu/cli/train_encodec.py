@@ -55,6 +55,13 @@ def get_args():
     p.add_argument("--lambda_com", type=float, default=1000.0)
     p.add_argument("--discriminator_iter_start", type=int, default=500)
     p.add_argument("--lr", type=float, default=3e-4)
+    # debug-scale model/discriminator knobs (reference debug mode:
+    # HiFi-Codec-24k-320d/start.sh:13-27 runs 1-GPU tiny-interval smoke)
+    p.add_argument("--n_filters", type=int, default=32)
+    p.add_argument("--dimension", type=int, default=512)
+    p.add_argument("--bins", type=int, default=1024)
+    p.add_argument("--debug_tiny_discs", action="store_true",
+                   help="shrink discriminators for smoke tests")
     p.add_argument("--print_freq", type=int, default=10)
     p.add_argument("--checkpoint_interval", type=int, default=5000)
     p.add_argument("--path", type=str, default="model_path")
@@ -76,10 +83,21 @@ def main():
         mel_scale_powers=tuple(range(6, 11)) if args.soundstream else tuple(range(6, 12)),
         feat_include_sim=bool(args.soundstream),
     )
+    tiny = (
+        dict(stft_filters=8, stft_n_ffts=(256,), mpd_periods=(2, 3), msd_scales=1,
+             mel_scale_powers=(6, 7))
+        if args.debug_tiny_discs
+        else {}
+    )
+    if args.debug_tiny_discs:
+        flavor.pop("mel_scale_powers", None)
     cfg = EncodecTrainConfig(
         sr=args.sr,
         ratios=tuple(args.ratios),
         target_bandwidths=tuple(args.target_bandwidths),
+        n_filters=args.n_filters,
+        dimension=args.dimension,
+        bins=args.bins,
         lambda_wav=args.lambda_wav,
         lambda_adv=args.lambda_adv,
         lambda_feat=args.lambda_feat,
@@ -88,6 +106,7 @@ def main():
         discriminator_iter_start=args.discriminator_iter_start,
         lr=args.lr,
         **flavor,
+        **tiny,
     )
     trainer = EncodecTrainer(cfg)
     logger = Logger(args.path, tensorboard=args.tensorboard, args=vars(args))
