@@ -146,3 +146,32 @@ def test_train_state_checkpoint_roundtrip(tiny_trainer, tmp_path):
     # a restored state steps without error
     state2, metrics = trainer.train_step(restored, x)
     assert np.isfinite(float(metrics["loss_g"]))
+
+
+def test_sharded_step_matches_unsharded(tiny_trainer):
+    """The flagship distributed-correctness claim: one data-parallel step
+    over 8 devices produces the SAME parameter/EMA-codebook updates as the
+    unsharded step on the identical global batch (GSPMD global-batch
+    statistics — the reference's per-rank EMA drifts instead, SURVEY §2.8)."""
+    trainer = tiny_trainer
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (8, 3200)) * 0.1
+
+    state_a = trainer.init_state(rng, x)
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    state_a, metrics_a = trainer.train_step(state_a, x)
+
+    state_b = replicate(state_b, mesh)
+    state_b, metrics_b = trainer.train_step(state_b, shard_batch(x, mesh))
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss_g"]), float(metrics_b["loss_g"]), rtol=1e-4
+    )
+    emb_a = np.asarray(state_a.g_extra["codebook"]["quantizer"]["vq"]["embed"])
+    emb_b = np.asarray(state_b.g_extra["codebook"]["quantizer"]["vq"]["embed"])
+    np.testing.assert_allclose(emb_a, emb_b, atol=1e-5, rtol=1e-4)
+    ga = np.asarray(jax.tree_util.tree_leaves(state_a.g_params)[0])
+    gb = np.asarray(jax.tree_util.tree_leaves(state_b.g_params)[0])
+    np.testing.assert_allclose(ga, gb, atol=1e-5, rtol=1e-4)
