@@ -79,6 +79,11 @@ def test_encodec_lr_schedule(tiny_trainer):
 
 @pytest.mark.slow
 def test_hificodec_train_step_runs():
+    # NOTE: the sharded variant of this full-width graph aborts inside
+    # XLA:CPU (virtual-device backend crash, not a framework bug); the
+    # data-parallel path is covered by the encodec sharded + equivalence
+    # tests, and the full-size HiFi-Codec step runs on real TPU
+    # (BENCHMARKS.md: 400.8 ms/step).
     cfg = HiFiCodecTrainConfig(
         model=HiFiCodecConfig(segment_size=3200),
         stft_filters=8,
