@@ -113,6 +113,14 @@ def main():
     mesh = make_mesh()
     logger.log_info(f"devices: {jax.devices()}")
 
+    # rank-aware data sharding (reference DistributedSampler,
+    # main_launch.py:220-227): each host loads a disjoint slice; batch_size
+    # stays the GLOBAL batch, split evenly over hosts.
+    pidx, pcount = jax.process_index(), jax.process_count()
+    if args.batch_size % pcount:
+        raise SystemExit(f"--batch_size {args.batch_size} not divisible by {pcount} hosts")
+    local_bs = args.batch_size // pcount
+
     segment = int(args.segment_seconds * args.sr)
     train_ds = WavCropDataset(
         args.train_data_path, segment, sample_rate=args.sr,
@@ -142,7 +150,8 @@ def main():
     for epoch in range(start_epoch, args.n_epochs + 1):
         state = trainer.set_epoch_lr(state, epoch)
         it = batch_iterator(
-            train_ds, args.batch_size, seed=args.seed + epoch, epochs=1
+            train_ds, local_bs, seed=args.seed + epoch, epochs=1,
+            process_index=pidx, process_count=pcount,
         )
         t_epoch = time.time()
         for i, batch in enumerate(it):
@@ -168,7 +177,8 @@ def main():
         # validation sweep (reference main_launch.py:365-429)
         vals = []
         for batch in batch_iterator(
-            valid_ds, args.batch_size, shuffle=False, epochs=1
+            valid_ds, local_bs, shuffle=False, epochs=1,
+            process_index=pidx, process_count=pcount,
         ):
             vals.append(trainer.eval_step(state, shard_batch(batch, mesh)))
         if vals:

@@ -75,6 +75,12 @@ def main():
 
     mesh = make_mesh()
     batch_size = args.batch_size or raw.get("batch_size", 16)
+    # rank-aware data sharding (reference DistributedSampler,
+    # hificodec/train.py:138-152): global batch split evenly over hosts.
+    pidx, pcount = jax.process_index(), jax.process_count()
+    if batch_size % pcount:
+        raise SystemExit(f"batch_size {batch_size} not divisible by {pcount} hosts")
+    local_bs = batch_size // pcount
     segment = model_cfg.segment_size
     train_ds = WavCropDataset(
         args.input_training_file, segment, sample_rate=model_cfg.sampling_rate,
@@ -100,7 +106,8 @@ def main():
         state = trainer.set_epoch_lr(state, epoch)
         t_epoch = time.time()
         for batch in batch_iterator(
-            train_ds, batch_size, seed=raw.get("seed", 1234) + epoch, epochs=1
+            train_ds, local_bs, seed=raw.get("seed", 1234) + epoch, epochs=1,
+            process_index=pidx, process_count=pcount,
         ):
             t0 = time.time()
             state, metrics = trainer.train_step(state, shard_batch(batch, mesh))
@@ -123,7 +130,10 @@ def main():
                 )
             if step % args.validation_interval == 0 and step != 0:
                 errs = []
-                for vb in batch_iterator(valid_ds, batch_size, shuffle=False, epochs=1):
+                for vb in batch_iterator(
+                    valid_ds, local_bs, shuffle=False, epochs=1,
+                    process_index=pidx, process_count=pcount,
+                ):
                     errs.append(float(trainer.eval_step(state, shard_batch(vb, mesh))["val_mel_error"]))
                 if errs:
                     logger.log_info(f"validation/mel_spec_error {np.mean(errs):.4f}")

@@ -1,2 +1,7 @@
 from academicodec_tpu.data.wavio import read_wav, write_wav
-from academicodec_tpu.data.dataset import WavCropDataset, batch_iterator, list_audio_files
+from academicodec_tpu.data.dataset import (
+    WavCropDataset,
+    batch_iterator,
+    list_audio_files,
+    shard_indices,
+)

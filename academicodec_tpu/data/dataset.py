@@ -73,7 +73,9 @@ class WavCropDataset:
                 np.float32
             )
         if wav.shape[-1] > seg:
-            st = self.rng.randint(0, wav.shape[-1] - seg - 1)
+            # inclusive upper bound: the final valid offset must be reachable
+            # (reference dataset.py:26 uses the full range)
+            st = self.rng.randint(0, wav.shape[-1] - seg)
             return wav[st : st + seg]
         out = np.zeros(seg, np.float32)
         out[: wav.shape[-1]] = wav
@@ -87,6 +89,27 @@ class WavCropDataset:
         return x
 
 
+def shard_indices(
+    idx: np.ndarray, process_index: int, process_count: int
+) -> np.ndarray:
+    """Partition a (shuffled) index permutation into per-process slices.
+
+    DistributedSampler semantics (reference main_launch.py:220-227,
+    hificodec/train.py:138-152): pad by wrapping so every process draws the
+    same count, then stride by rank — slices are disjoint (up to the <1-batch
+    wrap pad) and jointly cover the epoch. All processes must be given the
+    SAME permutation (same seed), else the partition is meaningless.
+    """
+    if process_count <= 1:
+        return idx
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} not in [0, {process_count})")
+    pad = (-len(idx)) % process_count
+    if pad:
+        idx = np.concatenate([idx, idx[:pad]])
+    return idx[process_index::process_count]
+
+
 def batch_iterator(
     dataset: WavCropDataset,
     batch_size: int,
@@ -96,10 +119,21 @@ def batch_iterator(
     num_workers: int = 8,
     seed: int = 0,
     epochs: Optional[int] = None,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[np.ndarray]:
     """Yield ``[batch_size, segment_length]`` float32 batches with threaded
     prefetch. ``epochs=None`` streams forever (set_epoch-style reshuffling
-    per pass, like the reference DistributedSampler)."""
+    per pass, like the reference DistributedSampler).
+
+    ``batch_size`` is the PER-PROCESS batch size. For multi-host training
+    pass ``process_index=jax.process_index(), process_count=
+    jax.process_count()`` and the SAME ``seed`` on every host: each host
+    then draws a disjoint, deterministic slice of the per-epoch shuffle
+    (reference DistributedSampler, main_launch.py:220-227) and
+    ``parallel.shard_batch`` assembles the local shards into the global
+    array.
+    """
     order_rng = np.random.default_rng(seed)
     n = len(dataset)
     epoch = 0
@@ -108,7 +142,9 @@ def batch_iterator(
             idx = np.arange(n)
             if shuffle:
                 order_rng.shuffle(idx)
-            limit = (n // batch_size) * batch_size if drop_last else n
+            idx = shard_indices(idx, process_index, process_count)
+            m = len(idx)
+            limit = (m // batch_size) * batch_size if drop_last else m
             for start in range(0, limit, batch_size):
                 chunk = idx[start : start + batch_size]
                 batch = list(pool.map(dataset.sample, chunk.tolist()))

@@ -21,6 +21,16 @@ import jax
 def _checkpointer():
     import orbax.checkpoint as ocp
 
+    if jax.process_count() > 1:
+        # rank-0-only saves: restrict orbax's internal barrier to process 0,
+        # otherwise its sync_global_processes deadlocks waiting for the
+        # non-zero ranks that (correctly) never enter save_checkpoint
+        return ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            ),
+        )
     return ocp.PyTreeCheckpointer()
 
 

@@ -1,0 +1,87 @@
+"""Worker for the 2-process multi-host smoke test (tests/test_multihost.py).
+
+Each process is one "host" with 2 virtual CPU devices; together they form a
+4-device global data mesh. This executes the REAL multi-host code path the
+single-process tests can't reach: ``jax.distributed.initialize`` over a local
+coordinator and ``shard_batch``'s ``make_array_from_process_local_data``
+branch (parallel/mesh.py), fed by the rank-aware ``batch_iterator`` slice —
+the TPU-native analogue of the reference's NCCL init + DistributedSampler
+(main_launch.py:163-166, 220-227).
+
+Usage: python multihost_worker.py <coordinator_port> <process_id> <num_processes>
+"""
+
+import sys
+
+
+def main() -> None:
+    port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    try:
+        # share the persistent compile cache with the main suite (conftest.py)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
+    except Exception:
+        pass
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=nproc,
+        process_id=pid,
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+    import numpy as np
+
+    from academicodec_tpu.data.dataset import shard_indices
+    from academicodec_tpu.parallel import make_mesh, replicate, shard_batch
+    from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
+
+    # every process computes the same permutation and takes its rank slice
+    rng_np = np.random.default_rng(0)
+    perm = rng_np.permutation(8)
+    mine = shard_indices(perm, pid, nproc)
+    assert len(mine) == 8 // nproc
+
+    mesh = make_mesh()
+    cfg = EncodecTrainConfig(
+        sr=16000,
+        ratios=(8, 5, 4, 2),
+        target_bandwidths=(1, 2, 4),
+        n_filters=4,
+        dimension=32,
+        bins=64,
+        discriminator_iter_start=1,
+        mel_scale_powers=(6, 7),
+        stft_filters=8,
+        stft_n_ffts=(256,),
+        mpd_periods=(2, 3),
+        msd_scales=1,
+    )
+    trainer = EncodecTrainer(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    # deterministic global batch: row i = i/10; each host materializes ONLY
+    # its local rows, global assembly is make_array_from_process_local_data
+    global_bs = 2 * nproc
+    local_rows = np.arange(pid * 2, pid * 2 + 2)
+    local = (local_rows[:, None] / 10.0 * np.ones((1, 3200))).astype(np.float32)
+
+    state = trainer.init_state(rng, np.zeros((global_bs, 3200), np.float32))
+    state = replicate(state, mesh)
+    sharded = shard_batch(local, mesh)
+    assert sharded.shape == (global_bs, 3200), sharded.shape
+
+    state, metrics = trainer.train_step(state, sharded)
+    loss = float(np.asarray(metrics["loss_g"]))
+    assert np.isfinite(loss), metrics
+    # all hosts must agree on the global loss (one global batch, psum'd stats)
+    print(f"MULTIHOST_OK pid={pid} loss_g={loss:.6f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

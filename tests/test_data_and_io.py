@@ -6,7 +6,12 @@ import numpy as np
 import pytest
 
 from academicodec_tpu.data.wavio import read_wav, write_wav
-from academicodec_tpu.data.dataset import WavCropDataset, batch_iterator, list_audio_files
+from academicodec_tpu.data.dataset import (
+    WavCropDataset,
+    batch_iterator,
+    list_audio_files,
+    shard_indices,
+)
 
 
 @pytest.fixture()
@@ -62,6 +67,82 @@ def test_mixture_augmentation(wav_dir):
     )
     x = ds.sample(0)
     assert np.isfinite(x).all()
+
+
+@pytest.mark.parametrize("n,pcount", [(17, 2), (16, 4), (5, 3)])
+def test_shard_indices_disjoint_cover(n, pcount):
+    """Rank partitioning must be disjoint and jointly cover the epoch
+    (reference DistributedSampler, main_launch.py:220-227)."""
+    rng = np.random.default_rng(0)
+    idx = rng.permutation(n)
+    shards = [shard_indices(idx, p, pcount) for p in range(pcount)]
+    # equal per-rank counts (pad-by-wrap like DistributedSampler)
+    assert len({len(s) for s in shards}) == 1
+    union = np.concatenate(shards)
+    # jointly cover every sample of the epoch
+    assert set(union.tolist()) == set(range(n))
+    # disjoint up to the <process_count wrap pad
+    pad = (-n) % pcount
+    assert len(union) == n + pad
+    from collections import Counter
+
+    counts = Counter(union.tolist())
+    assert sum(c - 1 for c in counts.values()) == pad
+
+
+def test_shard_indices_identity_and_validation():
+    idx = np.arange(7)
+    np.testing.assert_array_equal(shard_indices(idx, 0, 1), idx)
+    with pytest.raises(ValueError):
+        shard_indices(idx, 2, 2)
+
+
+def test_batch_iterator_rank_aware(wav_dir):
+    """Two simulated processes with the same seed draw disjoint files."""
+    ds = WavCropDataset(wav_dir, segment_length=4000, sample_rate=24000)
+    seen = []
+    for p in range(2):
+        # record which dataset indices each process samples
+        sampled = []
+        orig = ds.sample
+
+        def spy(i, _s=sampled):
+            _s.append(i)
+            return orig(i)
+
+        ds.sample = spy
+        list(
+            batch_iterator(
+                ds, batch_size=1, seed=7, epochs=1, num_workers=1,
+                process_index=p, process_count=2,
+            )
+        )
+        ds.sample = orig
+        seen.append(set(sampled))
+    assert seen[0] and seen[1]
+    assert seen[0].isdisjoint(seen[1])
+    assert seen[0] | seen[1] == set(range(len(ds)))
+
+
+def test_crop_can_start_at_final_offset():
+    """The crop RNG must be able to return the last valid start offset."""
+    import random as pyrandom
+
+    ds = WavCropDataset.__new__(WavCropDataset)
+    ds.segment_length = 10
+    ds.sample_rate = None
+    ds.rng = pyrandom.Random(0)
+    wav = np.arange(15, dtype=np.float32)
+
+    import academicodec_tpu.data.dataset as dmod
+
+    orig = dmod.read_wav
+    dmod.read_wav = lambda path, sr=None: (wav, 24000)
+    try:
+        starts = {int(ds._load_crop("x")[0]) for _ in range(200)}
+    finally:
+        dmod.read_wav = orig
+    assert max(starts) == 5  # len - seg, the final valid offset
 
 
 def test_read_wav_rejects_non_wav(tmp_path):
