@@ -34,6 +34,9 @@ def get_args():
     p.add_argument("--no_synth", action="store_true", help="tokens only")
     p.add_argument("--normalize", action="store_true",
                    help="peak-normalize *0.95 (infer.ipynb convention)")
+    p.add_argument("--fold_weight_norm", action="store_true",
+                   help="fold weight-norm params for serving "
+                        "(reference remove_weight_norm, vqvae_copy_syn.py:33)")
     return p.parse_args()
 
 
@@ -61,6 +64,10 @@ def main():
         cfg = HiFiCodecConfig.from_json(json.load(fh))
     model = VQVAE(config=cfg)
     variables = load_variables(args.model_path, model)
+    if args.fold_weight_norm:
+        from academicodec_tpu.utils.fold import fold_vqvae
+
+        model, variables = fold_vqvae(model, variables)
 
     encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
     decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))

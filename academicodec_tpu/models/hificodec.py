@@ -22,6 +22,7 @@ from academicodec_tpu.quant.grvq import GroupResidualVQ
 
 class VQVAE(nn.Module):
     config: HiFiCodecConfig = HiFiCodecConfig()
+    norm: str = "weight_norm"  # "none" after utils.fold.fold_vqvae
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -31,8 +32,12 @@ class VQVAE(nn.Module):
 
     def setup(self):
         h = self.config
-        self.encoder = HiFiGANEncoder(config=h, dtype=self.dtype, precision=self.precision)
-        self.generator = HiFiGANGenerator(config=h, dtype=self.dtype, precision=self.precision)
+        self.encoder = HiFiGANEncoder(
+            config=h, norm=self.norm, dtype=self.dtype, precision=self.precision
+        )
+        self.generator = HiFiGANGenerator(
+            config=h, norm=self.norm, dtype=self.dtype, precision=self.precision
+        )
         self.quantizer = GroupResidualVQ(
             dim=512,
             n_codes=h.n_codes,

@@ -75,6 +75,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
+    norm: str = "weight_norm"
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -88,7 +89,7 @@ class ResBlock1(nn.Module):
                 kernel_size=self.kernel_size,
                 dilation=d,
                 padding=(get_padding(self.kernel_size, d),) * 2,
-                norm="weight_norm",
+                norm=self.norm,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"convs1_{i}",
@@ -100,7 +101,7 @@ class ResBlock1(nn.Module):
                 kernel_size=self.kernel_size,
                 dilation=1,
                 padding=(get_padding(self.kernel_size, 1),) * 2,
-                norm="weight_norm",
+                norm=self.norm,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"convs2_{i}",
@@ -115,6 +116,7 @@ class ResBlock2(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
+    norm: str = "weight_norm"
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -128,7 +130,7 @@ class ResBlock2(nn.Module):
                 kernel_size=self.kernel_size,
                 dilation=d,
                 padding=(get_padding(self.kernel_size, d),) * 2,
-                norm="weight_norm",
+                norm=self.norm,
                 dtype=self.dtype,
                 precision=self.precision,
                 name=f"convs_{i}",
@@ -163,6 +165,7 @@ class HiFiGANEncoder(nn.Module):
     (reference models.py:364-427). ``[B, T, 1]`` -> ``[B, frames, 512]``."""
 
     config: HiFiCodecConfig
+    norm: str = "weight_norm"
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -176,7 +179,7 @@ class HiFiGANEncoder(nn.Module):
             out_channels=32,
             kernel_size=7,
             padding=(3, 3),
-            norm="weight_norm",
+            norm=self.norm,
             dtype=self.dtype,
             precision=self.precision,
             name="conv_pre",
@@ -192,7 +195,7 @@ class HiFiGANEncoder(nn.Module):
                 kernel_size=k,
                 stride=u,
                 padding=((k - u) // 2,) * 2,
-                norm="weight_norm",
+                norm=self.norm,
                 kernel_init=hifigan_normal_init,
                 dtype=self.dtype,
                 precision=self.precision,
@@ -205,6 +208,7 @@ class HiFiGANEncoder(nn.Module):
                     channels=ch,
                     kernel_size=rks[j],
                     dilation=tuple(rds[j]),
+                    norm=self.norm,
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"resblocks_{i * num_kernels + j}",
@@ -240,6 +244,7 @@ class HiFiGANGenerator(nn.Module):
     ``[B, frames, 512]`` -> ``[B, T, 1]``."""
 
     config: HiFiCodecConfig
+    norm: str = "weight_norm"
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -253,7 +258,7 @@ class HiFiGANGenerator(nn.Module):
             out_channels=h.upsample_initial_channel,
             kernel_size=7,
             padding=(3, 3),
-            norm="weight_norm",
+            norm=self.norm,
             dtype=self.dtype,
             precision=self.precision,
             name="conv_pre",
@@ -267,7 +272,7 @@ class HiFiGANGenerator(nn.Module):
                 kernel_size=k,
                 stride=u,
                 padding=((k - u) // 2,) * 2,
-                norm="weight_norm",
+                norm=self.norm,
                 kernel_init=hifigan_normal_init,
                 dtype=self.dtype,
                 precision=self.precision,
@@ -282,6 +287,7 @@ class HiFiGANGenerator(nn.Module):
                     channels=ch,
                     kernel_size=rk,
                     dilation=tuple(rd),
+                    norm=self.norm,
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"resblocks_{i * num_kernels + j}",
@@ -294,7 +300,7 @@ class HiFiGANGenerator(nn.Module):
             out_channels=1,
             kernel_size=7,
             padding=(3, 3),
-            norm="weight_norm",
+            norm=self.norm,
             kernel_init=hifigan_normal_init,
             dtype=self.dtype,
             precision=self.precision,

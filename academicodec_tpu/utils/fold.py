@@ -53,6 +53,20 @@ def fold_weight_norm(params: Any, _path: Tuple[str, ...] = ()) -> Any:
     return out
 
 
+def fold_vqvae(model, variables):
+    """(VQVAE, variables) -> (norm='none' VQVAE, folded variables).
+
+    The HiFi-Codec serving path (reference models.py:112-124,177-188
+    remove_weight_norm; vqvae_copy_syn.py:33): fold every (g, v) pair in the
+    encoder/generator trees into plain kernels. The GRVQ codebooks carry no
+    weight norm and pass through untouched.
+    """
+    folded_model = model.clone(norm="none")
+    folded = dict(variables)
+    folded["params"] = fold_weight_norm(variables["params"])
+    return folded_model, folded
+
+
 def fold_soundstream(model, variables):
     """(model, variables) -> (norm='none' model, folded variables).
 

@@ -82,3 +82,34 @@ def test_fold_weight_norm_preserves_outputs():
     out, _, codes = folded_model.apply(folded_vars, wav, n_q=2, training=False)
     np.testing.assert_array_equal(np.asarray(codes[:2]), np.asarray(codes_ref[:2]))
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5, rtol=1e-4)
+
+
+def test_fold_vqvae_preserves_outputs():
+    """HiFi-Codec remove_weight_norm equivalent (reference
+    models.py:112-124,177-188): folded VQVAE == weight-normed VQVAE —
+    identical tokens, float-close waveform."""
+    from academicodec_tpu.models.hificodec import VQVAE
+    from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+    from academicodec_tpu.utils.fold import fold_vqvae
+
+    cfg = HiFiCodecConfig(
+        upsample_rates=(5, 4, 2, 2),
+        upsample_kernel_sizes=(11, 8, 4, 4),
+        segment_size=4000,
+    )
+    model = VQVAE(config=cfg)
+    rng = jax.random.PRNGKey(1)
+    wav = jax.random.normal(rng, (2, 4000)) * 0.1
+    variables = model.init(rng, wav, training=False)
+    codes_ref = model.apply(variables, wav, method=VQVAE.encode)
+    out_ref = model.apply(variables, codes_ref, method=VQVAE.decode)
+
+    folded_model, folded_vars = fold_vqvae(model, variables)
+    assert folded_model.norm == "none"
+    # folded tree must contain no weight-norm params anywhere
+    flat = jax.tree_util.tree_leaves_with_path(folded_vars["params"])
+    assert not any("kernel_v" in jax.tree_util.keystr(p) for p, _ in flat)
+    codes = folded_model.apply(folded_vars, wav, method=VQVAE.encode)
+    np.testing.assert_array_equal(np.asarray(codes), np.asarray(codes_ref))
+    out = folded_model.apply(folded_vars, codes, method=VQVAE.decode)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5, rtol=1e-4)

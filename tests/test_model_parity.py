@@ -18,13 +18,14 @@ from academicodec_tpu.nn.hifigan import HiFiCodecConfig
 from academicodec_tpu.utils import torch_import as ti
 
 
-def _make_ref_soundstream(ratios, sr, bws, seed=0):
+def _make_ref_soundstream(ratios, sr, bws, seed=0, n_filters=4, D=32):
     import torch
     from academicodec.models.encodec.net3 import SoundStream as TorchSS
 
     torch.manual_seed(seed)
     ref = TorchSS(
-        n_filters=4, D=32, ratios=list(ratios), sample_rate=sr, target_bandwidths=list(bws)
+        n_filters=n_filters, D=D, ratios=list(ratios), sample_rate=sr,
+        target_bandwidths=list(bws),
     )
     # fill codebooks with random values and mark inited so encode is nontrivial
     with torch.no_grad():
@@ -73,6 +74,44 @@ def test_soundstream_token_and_decode_parity(ratios, sr, bws):
     np.testing.assert_allclose(
         np.asarray(out), out_ref[:, 0, :], atol=1e-4, rtol=1e-3
     )
+
+
+@requires_reference
+@pytest.mark.slow
+def test_soundstream_full_size_parity():
+    """Flagship inference width (n_filters=32, D=512 — reference
+    test.py:165-170): token bit-exactness and decode closeness must hold at
+    full width, pinning width-dependent paths (H=512 LSTM, deep channel
+    doubling) the tiny-width tests can't reach."""
+    import torch
+
+    ratios, sr, bws = (6, 5, 4, 2), 24000, (1, 2, 4, 8, 12)
+    ref = _make_ref_soundstream(ratios, sr, bws, n_filters=32, D=512)
+    model = SoundStream(
+        n_filters=32, dimension=512, ratios=ratios, sample_rate=sr,
+        target_bandwidths=bws,
+    )
+    assert model.n_q == ref.quantizer.n_q == 12
+    variables = ti.import_soundstream(ref.state_dict(), n_q=model.n_q)
+
+    rng = np.random.default_rng(5)
+    wav = (rng.standard_normal((2, 7200)) * 0.1).astype(np.float32)
+
+    with torch.no_grad():
+        codes_ref = ref.encode(
+            torch.from_numpy(wav).unsqueeze(1), target_bw=bws[-1]
+        ).numpy()
+        out_ref = ref.decode(torch.from_numpy(codes_ref)).numpy()
+
+    enc_fn = jax.jit(
+        lambda v, w: model.apply(v, w, target_bw=bws[-1], method=SoundStream.encode)
+    )
+    codes = enc_fn(variables, jnp.asarray(wav))
+    np.testing.assert_array_equal(np.asarray(codes), codes_ref)
+
+    dec_fn = jax.jit(lambda v, c: model.apply(v, c, method=SoundStream.decode))
+    out = dec_fn(variables, codes)
+    np.testing.assert_allclose(np.asarray(out), out_ref[:, 0, :], atol=2e-4, rtol=1e-3)
 
 
 @requires_reference
