@@ -39,7 +39,7 @@ class VQVAE(nn.Module):
             config=h, norm=self.norm, dtype=self.dtype, precision=self.precision
         )
         self.quantizer = GroupResidualVQ(
-            dim=512,
+            dim=h.latent_dim,
             n_codes=h.n_codes,
             n_groups=h.n_code_groups,
             n_residual=2,

@@ -43,6 +43,7 @@ class HiFiCodecConfig:
     upsample_initial_channel: int = 512
     resblock_kernel_sizes: Tuple[int, ...] = (3, 7, 11)
     resblock_dilation_sizes: Tuple[Tuple[int, ...], ...] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    encoder_base_channels: int = 32  # reference hardcodes 32 (models.py:395)
     n_code_groups: int = 2
     n_codes: int = 1024
     codebook_loss_lambda: float = 1.0
@@ -56,6 +57,12 @@ class HiFiCodecConfig:
     fmin: int = 0
     fmax: int = 8000
     fmax_for_loss: Any = None
+
+    @property
+    def latent_dim(self) -> int:
+        """Encoder output width = base * 2^num_stages (512 at reference
+        defaults: models.py:417-421 conv_post, vqvae quantizer dim)."""
+        return self.encoder_base_channels * (2 ** len(self.upsample_rates))
 
     @classmethod
     def from_json(cls, d: dict) -> "HiFiCodecConfig":
@@ -174,9 +181,10 @@ class HiFiGANEncoder(nn.Module):
         h = self.config
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        base = h.encoder_base_channels
         x = Conv1d(
             in_channels=1,
-            out_channels=32,
+            out_channels=base,
             kernel_size=7,
             padding=(3, 3),
             norm=self.norm,
@@ -190,8 +198,8 @@ class HiFiGANEncoder(nn.Module):
         for i, (u, k) in enumerate(ups):
             x = jax.nn.leaky_relu(x, LRELU_SLOPE)
             x = Conv1d(
-                in_channels=32 * (2**i),
-                out_channels=32 * (2 ** (i + 1)),
+                in_channels=base * (2**i),
+                out_channels=base * (2 ** (i + 1)),
                 kernel_size=k,
                 stride=u,
                 padding=((k - u) // 2,) * 2,
@@ -201,7 +209,13 @@ class HiFiGANEncoder(nn.Module):
                 precision=self.precision,
                 name=f"ups_{i}",
             )(x)
-            ch = 32 * (2 ** (i + 1))
+            ch = base * (2 ** (i + 1))
+            if ch < 16:
+                raise ValueError(
+                    f"encoder_base_channels={base} too small: stage {i} has "
+                    f"{ch} channels but GroupNorm uses ch//16 groups "
+                    "(reference models.py:412); need base*2 >= 16"
+                )
             xs = None
             for j in range(num_kernels):
                 r = resblock_cls(
@@ -226,8 +240,8 @@ class HiFiGANEncoder(nn.Module):
             x = xs / num_kernels
         x = jax.nn.leaky_relu(x)  # default torch slope 0.01 (models.py:417)
         x = Conv1d(
-            in_channels=512,
-            out_channels=512,
+            in_channels=h.latent_dim,
+            out_channels=h.latent_dim,
             kernel_size=3,
             padding=(1, 1),
             norm="none",
@@ -254,7 +268,7 @@ class HiFiGANGenerator(nn.Module):
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         x = Conv1d(
-            in_channels=512,
+            in_channels=h.latent_dim,
             out_channels=h.upsample_initial_channel,
             kernel_size=7,
             padding=(3, 3),

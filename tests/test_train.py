@@ -103,6 +103,60 @@ def test_hificodec_train_step_runs():
     assert np.isfinite(np.asarray(ev["val_mel_error"]))
 
 
+@pytest.mark.slow
+def test_hificodec_sharded_step_matches_unsharded():
+    """HiFi-Codec analogue of test_sharded_step_matches_unsharded, covering
+    the family-specific distributed state: spectral-norm ``u`` vectors
+    (mutated in the D phase) and gradient-trained GRVQ codebooks. Uses a
+    narrow width (encoder_base_channels=8) — the full-width sharded graph
+    aborts inside XLA:CPU (virtual-device backend crash, not a framework
+    bug); the DP semantics are width-independent."""
+    cfg = HiFiCodecTrainConfig(
+        model=HiFiCodecConfig(
+            segment_size=3200, encoder_base_channels=8, upsample_initial_channel=128
+        ),
+        stft_filters=8,
+        stft_n_ffts=(256,),
+        mpd_periods=(2,),
+        msd_scales=1,
+    )
+    trainer = HiFiCodecTrainer(cfg)
+    mesh = make_mesh()
+    rng = jax.random.PRNGKey(3)
+    y = jax.random.normal(rng, (8, 3200)) * 0.1
+
+    state_a = trainer.init_state(rng, y)
+    state_b = jax.tree_util.tree_map(jnp.copy, state_a)
+
+    state_a, metrics_a = trainer.train_step(state_a, y)
+    state_b = replicate(state_b, mesh)
+    state_b, metrics_b = trainer.train_step(state_b, shard_batch(y, mesh))
+
+    np.testing.assert_allclose(
+        float(metrics_a["loss_gen_all"]), float(metrics_b["loss_gen_all"]), rtol=1e-4
+    )
+    # generator params (incl. GRVQ codebooks, gradient-trained). Tolerance:
+    # Adam amplifies cross-layout reduction-order float noise on tiny-grad
+    # elements up to ~lr/5 (observed max 4e-5 at lr=2e-4); a genuine
+    # divergence (e.g. an argmin code flip) shifts whole rows by the full
+    # 2e-4 step and still fails.
+    for xa, xb in zip(
+        jax.tree_util.tree_leaves(state_a.g_params),
+        jax.tree_util.tree_leaves(state_b.g_params),
+    ):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-4, rtol=1e-3)
+    # spectral-norm power-iteration state advanced identically
+    for xa, xb in zip(
+        jax.tree_util.tree_leaves(state_a.d_extra["spectral"]),
+        jax.tree_util.tree_leaves(state_b.d_extra["spectral"]),
+    ):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-4, rtol=1e-3)
+    # discriminator params
+    da = jax.tree_util.tree_leaves(state_a.d_params)[0]
+    db = jax.tree_util.tree_leaves(state_b.d_params)[0]
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db), atol=1e-4, rtol=1e-3)
+
+
 def test_encodec_training_reduces_reconstruction_loss(tiny_trainer):
     """Overfit a fixed tone batch: rec loss after 30 steps < at start.
     (The 'training works' smoke the reference never had, SURVEY §4.)"""
