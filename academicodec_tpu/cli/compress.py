@@ -34,8 +34,14 @@ def get_args():
         "--target_bandwidths", type=float, nargs="+", default=[1, 1.5, 2, 4, 6, 12]
     )
     p.add_argument("--target_bw", type=float, default=12)
+    p.add_argument("--n_filters", type=int, default=32)
+    p.add_argument("--dimension", type=int, default=512)
+    p.add_argument("--bins", type=int, default=1024)
     p.add_argument("-r", "--rescale", action="store_true")
     p.add_argument("--ecdc", action="store_true", help="also write .ecdc streams")
+    p.add_argument("--lm", type=str, default=None,
+                   help="token-LM checkpoint dir (cli/train_lm.py) for "
+                        "entropy-coded streams instead of raw bit packing")
     return p.parse_args()
 
 
@@ -80,14 +86,22 @@ def load_model_variables(path: str, model: SoundStream):
 def main():
     args = get_args()
     model = SoundStream(
-        n_filters=32,
-        dimension=512,
+        n_filters=args.n_filters,
+        dimension=args.dimension,
         ratios=tuple(args.ratios),
         sample_rate=args.sr,
         target_bandwidths=tuple(args.target_bandwidths),
+        bins=args.bins,
     )
     variables = load_model_variables(args.resume_path, model)
-    compressor = SoundStreamCompressor(model, variables, target_bw=args.target_bw)
+    lm = lm_vars = None
+    if args.lm:
+        from academicodec_tpu.cli.train_lm import load_lm
+
+        lm, lm_vars = load_lm(args.lm)
+    compressor = SoundStreamCompressor(
+        model, variables, target_bw=args.target_bw, lm=lm, lm_variables=lm_vars
+    )
 
     os.makedirs(args.output, exist_ok=True)
     names = sorted(f for f in os.listdir(args.input) if f.endswith(".wav"))
