@@ -46,6 +46,11 @@ def get_args():
     p.add_argument("--num_ckpt_keep", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=None, help="override config")
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--fine_tuning", action="store_true",
+                   help="mel-aligned crops from precomputed mel .npy files "
+                        "(reference meldataset.py:183-206)")
+    p.add_argument("--input_mels_dir", type=str, default=None,
+                   help="dir of <stem>.npy mels for --fine_tuning")
     return p.parse_args()
 
 
@@ -82,10 +87,21 @@ def main():
         raise SystemExit(f"batch_size {batch_size} not divisible by {pcount} hosts")
     local_bs = batch_size // pcount
     segment = model_cfg.segment_size
-    train_ds = WavCropDataset(
-        args.input_training_file, segment, sample_rate=model_cfg.sampling_rate,
-        seed=raw.get("seed", 1234),
-    )
+    if args.fine_tuning:
+        if not args.input_mels_dir:
+            raise SystemExit("--fine_tuning requires --input_mels_dir")
+        from academicodec_tpu.data.dataset import MelNpyCropDataset
+
+        train_ds = MelNpyCropDataset(
+            args.input_training_file, segment, hop_size=model_cfg.hop_size,
+            base_mels_path=args.input_mels_dir,
+            sample_rate=model_cfg.sampling_rate, seed=raw.get("seed", 1234),
+        )
+    else:
+        train_ds = WavCropDataset(
+            args.input_training_file, segment, sample_rate=model_cfg.sampling_rate,
+            seed=raw.get("seed", 1234),
+        )
     valid_ds = WavCropDataset(
         args.input_validation_file, segment, sample_rate=model_cfg.sampling_rate
     )
@@ -109,6 +125,11 @@ def main():
             train_ds, local_bs, seed=raw.get("seed", 1234) + epoch, epochs=1,
             process_index=pidx, process_count=pcount,
         ):
+            if isinstance(batch, tuple):
+                # fine-tuning: (wav, precomputed mel) — the mel is for
+                # plotting only, the loss recomputes mels on device (same
+                # as the reference hot loop, train.py:219-240)
+                batch, _batch_mel = batch
             t0 = time.time()
             state, metrics = trainer.train_step(state, shard_batch(batch, mesh))
             step = int(state.step)

@@ -89,6 +89,61 @@ class WavCropDataset:
         return x
 
 
+class MelNpyCropDataset(WavCropDataset):
+    """Fine-tuning mode (reference meldataset.py:183-206): per-file
+    precomputed mel ``.npy`` (``base_mels_path/<stem>.npy``, shape
+    ``[num_mels, frames]``), with the random crop aligned to mel frames.
+    ``sample`` returns ``(wav [segment], mel [num_mels, frames_per_seg])``.
+
+    As in the reference hot loop, the precomputed mel is NOT the loss
+    target (that is always recomputed from audio on device) — it rides
+    along for plotting/conditioning consumers.
+    """
+
+    def __init__(
+        self,
+        source: str,
+        segment_length: int,
+        hop_size: int,
+        base_mels_path: str,
+        sample_rate: Optional[int] = None,
+        seed: int = 0,
+    ):
+        super().__init__(source, segment_length, sample_rate=sample_rate, seed=seed)
+        self.hop_size = hop_size
+        self.base_mels_path = base_mels_path
+        self.frames_per_seg = -(-segment_length // hop_size)  # ceil
+
+    def sample(self, index: int):
+        path = self.files[index % len(self.files)]
+        stem = os.path.splitext(os.path.basename(path))[0]
+        mel = np.load(os.path.join(self.base_mels_path, stem + ".npy"))
+        if mel.ndim == 3:  # tolerate a leading batch dim
+            mel = mel[0]
+        seg, hop, fps = self.segment_length, self.hop_size, self.frames_per_seg
+        try:
+            wav, _sr = read_wav(path, sr=self.sample_rate)
+        except Exception:
+            wav = (np.random.default_rng(0).standard_normal(seg) * 0.05).astype(
+                np.float32
+            )
+        if wav.shape[-1] >= seg and mel.shape[-1] >= fps:
+            # mel-frame-aligned crop (meldataset.py:195-201); full range,
+            # not the reference's last-offset-unreachable randint
+            mel_start = self.rng.randint(0, mel.shape[-1] - fps)
+            mel = mel[:, mel_start : mel_start + fps]
+            wav = wav[mel_start * hop : mel_start * hop + seg]
+            out = np.zeros(seg, np.float32)
+            out[: wav.shape[-1]] = wav  # guard ragged final hop
+            return out, mel.astype(np.float32)
+        # pad both to fixed shapes (meldataset.py:202-206)
+        mel_out = np.zeros((mel.shape[0], fps), np.float32)
+        mel_out[:, : min(fps, mel.shape[-1])] = mel[:, :fps]
+        wav_out = np.zeros(seg, np.float32)
+        wav_out[: min(seg, wav.shape[-1])] = wav[:seg]
+        return wav_out, mel_out
+
+
 def shard_indices(
     idx: np.ndarray, process_index: int, process_count: int
 ) -> np.ndarray:
@@ -150,5 +205,11 @@ def batch_iterator(
                 batch = list(pool.map(dataset.sample, chunk.tolist()))
                 if len(batch) < batch_size:
                     continue
-                yield np.stack(batch).astype(np.float32)
+                if isinstance(batch[0], tuple):
+                    # paired datasets (e.g. MelNpyCropDataset): stack columns
+                    yield tuple(
+                        np.stack(col).astype(np.float32) for col in zip(*batch)
+                    )
+                else:
+                    yield np.stack(batch).astype(np.float32)
             epoch += 1

@@ -145,6 +145,73 @@ def test_crop_can_start_at_final_offset():
     assert max(starts) == 5  # len - seg, the final valid offset
 
 
+def test_mel_npy_dataset_aligned_crops(tmp_path):
+    """Fine-tuning mode (reference meldataset.py:183-206): crops are
+    mel-frame-aligned — wav[mel_start*hop] must equal the sample index."""
+    from academicodec_tpu.data.dataset import MelNpyCropDataset
+
+    sr, hop, seg = 24000, 100, 800
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    n_frames = 50
+    wav = (np.arange(n_frames * hop, dtype=np.float32)) / (n_frames * hop)
+    write_wav(str(tmp_path / "a.wav"), wav * 0.5, sr)
+    # mel row 0 carries the frame index so alignment is checkable
+    mel = np.tile(np.arange(n_frames, dtype=np.float32), (4, 1))
+    np.save(str(mels_dir / "a.npy"), mel)
+
+    ds = MelNpyCropDataset(
+        str(tmp_path), seg, hop_size=hop, base_mels_path=str(mels_dir),
+        sample_rate=sr, seed=0,
+    )
+    fps = -(-seg // hop)
+    for _ in range(10):
+        w, m = ds.sample(0)
+        assert w.shape == (seg,) and m.shape == (4, fps)
+        mel_start = int(m[0, 0])
+        # the wav crop starts exactly at mel_start*hop (16-bit wav tolerance)
+        expected = wav[mel_start * hop] * 0.5
+        assert abs(w[0] - expected) < 1e-3, (mel_start, w[0], expected)
+        # frames are consecutive
+        np.testing.assert_array_equal(m[0], np.arange(mel_start, mel_start + fps))
+
+
+def test_mel_npy_dataset_pads_short_files(tmp_path):
+    from academicodec_tpu.data.dataset import MelNpyCropDataset
+
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    write_wav(str(tmp_path / "s.wav"), np.ones(300, np.float32) * 0.1, 24000)
+    np.save(str(mels_dir / "s.npy"), np.ones((4, 3), np.float32))
+    ds = MelNpyCropDataset(
+        str(tmp_path), 800, hop_size=100, base_mels_path=str(mels_dir),
+        sample_rate=24000,
+    )
+    w, m = ds.sample(0)
+    assert w.shape == (800,) and m.shape == (4, 8)
+    assert (w[300:] == 0).all() and (m[:, 3:] == 0).all()
+
+
+def test_batch_iterator_pairs(tmp_path):
+    """Paired datasets batch as a tuple of stacked arrays."""
+    from academicodec_tpu.data.dataset import MelNpyCropDataset
+
+    mels_dir = tmp_path / "mels"
+    mels_dir.mkdir()
+    for i in range(4):
+        write_wav(str(tmp_path / f"c{i}.wav"),
+                  np.ones(2000, np.float32) * 0.1, 24000)
+        np.save(str(mels_dir / f"c{i}.npy"), np.ones((4, 20), np.float32))
+    ds = MelNpyCropDataset(
+        str(tmp_path), 800, hop_size=100, base_mels_path=str(mels_dir),
+        sample_rate=24000,
+    )
+    batches = list(batch_iterator(ds, batch_size=2, epochs=1, num_workers=1))
+    assert len(batches) == 2
+    wavs, mels = batches[0]
+    assert wavs.shape == (2, 800) and mels.shape == (2, 4, 8)
+
+
 def test_read_wav_rejects_non_wav(tmp_path):
     p = tmp_path / "x.wav"
     p.write_bytes(b"definitely not a riff file")
