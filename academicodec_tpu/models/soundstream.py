@@ -35,6 +35,7 @@ class SoundStream(nn.Module):
     norm: str = "weight_norm"
     lstm_use_pallas: bool = False
     rvq_use_pallas: bool = False  # fused serving kernel (ops/pallas/rvq.py)
+    packed_conv: bool = False  # lanes-packed small-channel convs (ops/packed.py)
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -84,8 +85,8 @@ class SoundStream(nn.Module):
             dtype=self.dtype,
             precision=self.precision,
         )
-        self.encoder = SEANetEncoder(**common)
-        self.decoder = SEANetDecoder(**common)
+        self.encoder = SEANetEncoder(packed_head=self.packed_conv, **common)
+        self.decoder = SEANetDecoder(packed_tail=self.packed_conv, **common)
         self.quantizer = ResidualVectorQuantizer(
             dimension=self.dimension, n_q=self.n_q, bins=self.bins, dtype=self.dtype
         )

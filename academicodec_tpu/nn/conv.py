@@ -145,7 +145,7 @@ class Conv1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x, packed_pads=None, pad_mode: str = "zero"):
         k_shape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
         fan_in = (self.in_channels // self.groups) * self.kernel_size
         k_init = self.kernel_init or torch_conv_kernel_init(fan_in)
@@ -157,6 +157,15 @@ class Conv1d(nn.Module):
             if self.use_bias
             else None
         )
+        if not isinstance(x, jnp.ndarray):  # lanes-packed path (ops/packed.py)
+            from academicodec_tpu.ops import packed as packed_ops
+
+            assert self.groups == 1 and self.norm not in ("layer_norm", "time_group_norm")
+            return packed_ops.sconv1d_packed(
+                x, kernel, bias, stride=self.stride, dilation=self.dilation,
+                pad_left=packed_pads[0], pad_right=packed_pads[1],
+                pad_mode=pad_mode, precision=self.precision,
+            )
         y = conv_ops.conv1d(
             x,
             kernel,
@@ -189,7 +198,7 @@ class ConvTranspose1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming_ola: bool = False) -> jnp.ndarray:
+    def __call__(self, x, streaming_ola: bool = False, packed_pads=None):
         k_shape = (self.kernel_size, self.in_channels, self.out_channels)
         fan_in = self.out_channels * self.kernel_size  # torch convT fan_in = out*k
         k_init = self.kernel_init or torch_conv_kernel_init(fan_in)
@@ -202,6 +211,15 @@ class ConvTranspose1d(nn.Module):
             if self.use_bias
             else None
         )
+        if not isinstance(x, jnp.ndarray):  # lanes-packed path (ops/packed.py)
+            from academicodec_tpu.ops import packed as packed_ops
+
+            assert self.padding == (0, 0)
+            return packed_ops.sconvtranspose1d_packed(
+                x, kernel, bias, stride=self.stride,
+                pad_left=packed_pads[0], pad_right=packed_pads[1],
+                precision=self.precision,
+            )
         if streaming_ola:
             # Chunked streaming via overlap-add: the last ``k - s`` outputs
             # of each chunk overlap the next chunk's head. The carry is kept
@@ -299,9 +317,31 @@ class SConv1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+    def __call__(self, x, streaming: bool = False):
         k, s, d = self.kernel_size, self.stride, self.dilation
         padding_total = (k - 1) * d - (s - 1)
+        if not isinstance(x, jnp.ndarray):  # lanes-packed input
+            assert not streaming
+            extra = pad_ops.get_extra_padding_for_conv1d(x.length, k, s, padding_total)
+            if self.causal:
+                pads = (padding_total, extra)
+            else:
+                pad_right = padding_total // 2
+                pads = (padding_total - pad_right, pad_right + extra)
+            return Conv1d(
+                in_channels=self.in_channels,
+                out_channels=self.out_channels,
+                kernel_size=k,
+                stride=s,
+                dilation=d,
+                groups=self.groups,
+                use_bias=self.use_bias,
+                norm=self.norm,
+                kernel_init=self.kernel_init,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="conv",
+            )(x, packed_pads=pads, pad_mode=self.pad_mode)
         if streaming:
             # Chunked causal streaming: a 'cache' buffer carries the last
             # ``padding_total`` input samples. With chunk lengths divisible
@@ -367,7 +407,7 @@ class SConvTranspose1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+    def __call__(self, x, streaming: bool = False):
         assert self.causal or self.trim_right_ratio == 1.0
         k, s = self.kernel_size, self.stride
         padding_total = k - s
@@ -384,6 +424,13 @@ class SConvTranspose1d(nn.Module):
             precision=self.precision,
             name="convtr",
         )
+        if not isinstance(x, jnp.ndarray):  # lanes-packed input
+            assert not streaming
+            if self.causal:
+                pad_right = math.ceil(padding_total * self.trim_right_ratio)
+            else:
+                pad_right = padding_total // 2
+            return convtr(x, packed_pads=(padding_total - pad_right, pad_right))
         if streaming:
             # With full right-trim (trim_right_ratio=1, the causal default)
             # the samples trimmed in full mode are exactly the OLA carry, so

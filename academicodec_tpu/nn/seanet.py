@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from academicodec_tpu.nn.conv import SConv1d, SConvTranspose1d
+from academicodec_tpu.ops import packed as packed_ops
 from academicodec_tpu.nn.lstm import SLSTM
 
 
@@ -64,7 +65,7 @@ class SEANetResnetBlock(nn.Module):
         for i, (k, d) in enumerate(zip(self.kernel_sizes, self.dilations)):
             in_chs = self.dim if i == 0 else hidden
             out_chs = self.dim if i == n - 1 else hidden
-            y = act(y)
+            y = packed_ops.maybe_map(act, y)
             # index 2*i+1: the reference block is Sequential(act, conv, act, conv)
             y = SConv1d(
                 in_channels=in_chs,
@@ -120,6 +121,7 @@ class SEANetEncoder(nn.Module):
     compress: int = 2
     lstm: int = 2
     lstm_use_pallas: bool = False
+    packed_head: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -138,6 +140,20 @@ class SEANetEncoder(nn.Module):
         down_ratios = list(reversed(list(self.ratios)))
         mult = 1
         idx = 0
+        # lanes-packing for the small-channel waveform-rate head: pack the
+        # first j_max downsample stages' time steps into the channel dim so
+        # every conv runs at >=128 effective lanes (ops/packed.py). Bit-for-
+        # bit semantics incl. reflect edges; serving-path optimization.
+        j_max = 0
+        if self.packed_head and not streaming:
+            p0 = 1
+            for j, r in enumerate(down_ratios):
+                if self.n_filters * (2 ** j) > 64 or p0 * r > 16:
+                    break
+                p0 *= r
+                j_max = j + 1
+            if j_max:
+                x = packed_ops.pack_t(x, p0)
         common = dict(
             norm=self.norm,
             causal=self.causal,
@@ -153,7 +169,7 @@ class SEANetEncoder(nn.Module):
             **common,
         )(x, streaming=streaming)
         idx += 1
-        for ratio in down_ratios:
+        for stage, ratio in enumerate(down_ratios):
             for j in range(self.n_residual_layers):
                 x = SEANetResnetBlock(
                     dim=mult * self.n_filters,
@@ -172,7 +188,7 @@ class SEANetEncoder(nn.Module):
                 )(x, streaming=streaming)
                 idx += 1
             idx += 1  # activation occupies a sequential slot in the reference
-            x = act(x)
+            x = packed_ops.maybe_map(act, x)
             x = SConv1d(
                 in_channels=mult * self.n_filters,
                 out_channels=mult * self.n_filters * 2,
@@ -183,6 +199,8 @@ class SEANetEncoder(nn.Module):
             )(x, streaming=streaming)
             idx += 1
             mult *= 2
+            if stage + 1 == j_max and not isinstance(x, jnp.ndarray):
+                x = packed_ops.unpack_t(x)  # p==1 here: slice-only exit
         if self.lstm:
             slstm = SLSTM(
                 dimension=mult * self.n_filters,
@@ -239,6 +257,7 @@ class SEANetDecoder(nn.Module):
     lstm: int = 2
     lstm_use_pallas: bool = False
     trim_right_ratio: float = 1.0
+    packed_tail: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -287,9 +306,24 @@ class SEANetDecoder(nn.Module):
             else:
                 x = slstm(x)
             idx += 1
-        for ratio in self.ratios:
+        # lanes-packing entry: the earliest upsample stage from which the
+        # remaining packing factor stays small and channels are narrow —
+        # everything downstream runs packed (ops/packed.py), unpacked once
+        # at the very end. Bit-for-bit semantics; serving-path optimization.
+        entry = None
+        if self.packed_tail and not streaming:
+            m_probe = int(2 ** len(self.ratios))
+            for i in range(len(self.ratios)):
+                cout = (m_probe >> (i + 1)) * self.n_filters
+                rem = int(np.prod(self.ratios[i:]))
+                if rem <= 16 and cout <= 64:
+                    entry = i
+                    break
+        for stage, ratio in enumerate(self.ratios):
+            if stage == entry:
+                x = packed_ops.Packed(x, 1, x.shape[1])
             idx += 1  # activation slot
-            x = act(x)
+            x = packed_ops.maybe_map(act, x)
             x = SConvTranspose1d(
                 in_channels=mult * self.n_filters,
                 out_channels=mult * self.n_filters // 2,
@@ -322,7 +356,7 @@ class SEANetDecoder(nn.Module):
                 idx += 1
             mult //= 2
         idx += 1  # final activation slot
-        x = act(x)
+        x = packed_ops.maybe_map(act, x)
         x = SConv1d(
             in_channels=self.n_filters,
             out_channels=self.channels,
@@ -330,6 +364,8 @@ class SEANetDecoder(nn.Module):
             name=f"model_{idx}",
             **common,
         )(x, streaming=streaming)
+        if not isinstance(x, jnp.ndarray):
+            x = packed_ops.unpack_t(x)
         if self.final_activation is not None:
             final_act = _activation(
                 self.final_activation, self.final_activation_params or {}

@@ -1,0 +1,324 @@
+"""Time-packed ("lanes-packed") conv algebra for small-channel stages.
+
+TPU vector lanes are 128 wide; the codec's waveform-rate stages run at
+C=1..64 channels, wasting 50-99% of every lane. These helpers re-express a
+``[B, T, C]`` tensor as ``[B, T/p, p*C]`` (p consecutive time steps packed
+into the channel dim) and lower stride/transposed convs to dense stride-1
+convs over packed rows with block-Toeplitz kernels:
+
+    packed_conv1d:            p_out = p_in / stride   (downsampling keeps rows)
+    packed_conv_transpose1d:  p_out = p_in * stride   (upsampling keeps rows)
+
+so an entire SEANet decoder tail (or encoder head) chains at a constant
+row count and full 128-256 lane rows with ZERO intermediate relayouts —
+pack once at the boundary, unpack once at the end. Arithmetic is identical
+to the plain ops up to float reduction order (same products, summed in a
+different association); measured ~0 bf16 divergence on codec shapes.
+
+Why not Pallas: these lower to single XLA convs (= MXU matmuls) already;
+the transform is pure data layout.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from academicodec_tpu.ops.conv import DN_1D
+
+
+def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    """``[B, T, C] -> [B, ceil(T/p), p*C]`` (zero-padded tail). One relayout."""
+    if p == 1:
+        return x
+    B, T, C = x.shape
+    rows = -(-T // p)
+    if rows * p != T:
+        x = jnp.pad(x, ((0, 0), (0, rows * p - T), (0, 0)))
+    return x.reshape(B, rows, p * C)
+
+
+def unpack(x: jnp.ndarray, p: int, length: Optional[int] = None) -> jnp.ndarray:
+    """``[B, R, p*C] -> [B, R*p, C]`` (sliced to ``length``)."""
+    if p == 1:
+        return x if length is None else x[:, :length]
+    B, R, PC = x.shape
+    y = x.reshape(B, R * p, PC // p)
+    return y if length is None else y[:, :length]
+
+
+@lru_cache(maxsize=None)
+def _index_maps_conv(K: int, stride: int, p_in: int, pad_lo: int, dilation: int = 1):
+    """Brute-force tap placement for a packed strided conv.
+
+    y[t] = sum_k x[t*stride + k - pad_lo] W[k]; with x packed p_in and
+    y packed p_out = p_in/stride, output row r slot u reads input row r+m
+    slot i when  i = u*stride + k - pad_lo - m*p_in  lands in [0, p_in).
+    Returns (M, [(m, i, u, k), ...]).
+    """
+    assert p_in % stride == 0, (p_in, stride)
+    p_out = p_in // stride
+    raw = []
+    for u in range(p_out):
+        for k in range(K):
+            t = u * stride + k * dilation - pad_lo
+            m, i = divmod(t, p_in)  # floor div handles negative t
+            raw.append((m, i, u, k))
+    m_lo = min(m for m, *_ in raw)
+    m_hi = max(m for m, *_ in raw)
+    entries = tuple((m - m_lo, i, u, k) for (m, i, u, k) in raw)
+    return m_hi - m_lo + 1, -m_lo, entries
+
+
+@lru_cache(maxsize=None)
+def _index_maps_convt(K: int, stride: int, p_in: int, pad_lo: int):
+    """Tap placement for a packed transposed conv.
+
+    y_full[j*stride + k] += x[j] W[k]; cropped output y[t] = y_full[t+pad_lo]
+    packed p_out = p_in*stride: row r slot u is y_full[r*p_out + u + pad_lo],
+    reading input row r+m slot i when
+    k = (r*p_out + u + pad_lo) - (r+m)*p_in*stride - i*stride ... i.e.
+    k = u + pad_lo - (m*p_in + i)*stride  (within one r). m may be negative
+    (future input rows feed earlier outputs when pad_lo > 0) — handled by
+    shifting all m to >= 0 and padding the conv accordingly.
+    """
+    p_out = p_in * stride
+    raw = []
+    for u in range(p_out):
+        for i in range(p_in):
+            for k in range(K):
+                t = u + pad_lo - i * stride - k  # = m * p_out  if aligned
+                if t % p_out == 0:
+                    raw.append((t // p_out, i, u, k))
+    if not raw:
+        return 0, 0, tuple()
+    m_lo = min(m for m, *_ in raw)
+    m_hi = max(m for m, *_ in raw)
+    entries = tuple((m - m_lo, i, u, k) for (m, i, u, k) in raw)
+    return m_hi - m_lo + 1, -m_lo, entries
+
+
+def _pack_kernel(kernel: jnp.ndarray, M: int, entries, p_in: int, p_out: int):
+    K, Ci, Co = kernel.shape
+    W2 = jnp.zeros((M, p_in, Ci, p_out, Co), kernel.dtype)
+    if entries:
+        m_idx = np.array([e[0] for e in entries])
+        i_idx = np.array([e[1] for e in entries])
+        u_idx = np.array([e[2] for e in entries])
+        k_idx = np.array([e[3] for e in entries])
+        W2 = W2.at[m_idx, i_idx, :, u_idx, :].set(kernel[k_idx])
+    return W2.reshape(M, p_in * Ci, p_out * Co)
+
+
+def packed_conv1d(
+    xp: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    p_in: int,
+    pad_lo: int = 0,
+    precision=None,
+) -> Tuple[jnp.ndarray, int]:
+    """Strided conv on a packed tensor. Returns ``(yp, p_out)``.
+
+    ``xp`` is ``pack(x, p_in)``; the result is ``pack(y, p_out)`` of
+    ``y[t] = sum_k x[t*stride + k*dilation - pad_lo] W[k] + b`` with x
+    zero-extended outside its true range (junk propagates only into tail
+    slots; ``unpack(..., length=...)`` slices them away at the boundary).
+    """
+    K, Ci, Co = kernel.shape
+    M, m_shift, entries = _index_maps_conv(K, stride, p_in, pad_lo, dilation)
+    p_out = p_in // stride
+    W2 = _pack_kernel(kernel, M, entries, p_in, p_out)
+    yp = lax.conv_general_dilated(
+        xp, W2, window_strides=(1,), padding=((m_shift, M - 1 - m_shift),),
+        dimension_numbers=DN_1D, precision=precision,
+    )
+    if bias is not None:
+        yp = yp + jnp.tile(bias, p_out)
+    return yp, p_out
+
+
+def packed_conv_transpose1d(
+    xp: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    *,
+    stride: int = 1,
+    p_in: int,
+    pad_lo: int = 0,
+    precision=None,
+) -> Tuple[jnp.ndarray, int]:
+    """Transposed conv on a packed tensor. Returns ``(yp, p_out)`` with
+    ``p_out = p_in * stride``; row r slot u is the cropped output
+    ``y_full[r*p_out + u + pad_lo]`` (torch-style pad_lo crop baked in)."""
+    K, Ci, Co = kernel.shape
+    M, m_shift, entries = _index_maps_convt(K, stride, p_in, pad_lo)
+    p_out = p_in * stride
+    W2 = _pack_kernel(kernel, M, entries, p_in, p_out)
+    # output row r sums input rows r + m - m_shift for m in [0, M):
+    # y[r] = sum_m x[r + m - lo] W2[m] with lo = m_shift
+    yp = lax.conv_general_dilated(
+        xp, W2, window_strides=(1,),
+        padding=((m_shift, M - 1 - m_shift),),
+        dimension_numbers=DN_1D, precision=precision,
+    )
+    if bias is not None:
+        yp = yp + jnp.tile(bias, p_out)
+    return yp, p_out
+
+
+# ---------------------------------------------------------------------------
+# Layer-level API with exact padding semantics (reflect/zero edges).
+#
+# The packed main conv zero-extends the signal; SEANet convs reflect-pad.
+# Only outputs whose window crosses a boundary differ — a handful of rows.
+# These helpers recompute the boundary rows with plain ops on tiny unpacked
+# slices and splice them in, so packed == unpacked EXACTLY, end to end.
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from academicodec_tpu.ops import padding as _pad_ops
+from academicodec_tpu.ops.conv import conv1d as _plain_conv1d
+
+
+@dataclasses.dataclass
+class Packed:
+    """A lanes-packed tensor with its packing factor and true length."""
+
+    x: jnp.ndarray  # [B, rows, p*C]
+    p: int
+    length: int  # true (unpacked) time length; rows*p - length slots are junk
+
+    @property
+    def channels(self) -> int:
+        return self.x.shape[-1] // self.p
+
+    def __add__(self, other: "Packed") -> "Packed":
+        assert self.p == other.p and self.length == other.length
+        return Packed(self.x + other.x, self.p, self.length)
+
+    def map(self, fn) -> "Packed":
+        """Apply an elementwise fn (activation) slot-wise."""
+        return Packed(fn(self.x), self.p, self.length)
+
+
+def maybe_map(fn, x):
+    """Apply an elementwise fn to a plain array or a Packed tensor."""
+    return x.map(fn) if isinstance(x, Packed) else fn(x)
+
+
+def pack_t(x: jnp.ndarray, p: int) -> Packed:
+    return Packed(pack(x, p), p, x.shape[1])
+
+
+def unpack_t(t: Packed) -> jnp.ndarray:
+    return unpack(t.x, t.p, length=t.length)
+
+
+def sconv1d_packed(
+    t: Packed,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    stride: int = 1,
+    dilation: int = 1,
+    pad_left: int,
+    pad_right: int,
+    pad_mode: str = "reflect",
+    precision=None,
+) -> Packed:
+    """SConv1d-semantics conv on a packed tensor with exact edge padding.
+
+    Matches ``pad1d(x, (pad_left, pad_right), mode)`` then VALID conv:
+    ``out_T = (length + pad_left + pad_right - (K-1)*dilation - 1)//stride + 1``.
+    """
+    K, Ci, Co = kernel.shape
+    xp, p_in, T = t.x, t.p, t.length
+    B, R, _ = xp.shape
+    span = (K - 1) * dilation
+    out_T = (T + pad_left + pad_right - span - 1) // stride + 1
+    p_out = p_in // stride
+
+    # tiny inputs: head/tail corrections would overlap — just run unpacked
+    h_est = -(-max(pad_left, 1) // stride)
+    t0_est = max(0, -(-(T + pad_left - span) // stride))
+    if h_est + (out_T - t0_est) >= out_T or T <= 2 * p_in * max(
+        1, -(-(span + pad_left) // p_in)
+    ):
+        xs = _pad_ops.pad1d(unpack_t(t), (pad_left, pad_right), mode=pad_mode)
+        y = _plain_conv1d(
+            xs, kernel, bias, stride=stride, dilation=dilation, precision=precision
+        )[:, :out_T]
+        return Packed(pack(y, p_out), p_out, out_T)
+
+    yp, _ = packed_conv1d(
+        xp, kernel, bias, stride=stride, dilation=dilation, p_in=p_in,
+        pad_lo=pad_left, precision=precision,
+    )  # [B, R, p_out*Co], zero-extension semantics
+
+    # --- head: outputs whose window starts before x[0] ---
+    h = -(-pad_left // stride) if pad_left > 0 else 0  # ceil
+    h_rows = -(-h // p_out) if h else 0
+    if h_rows:
+        H = h_rows * p_out
+        need = (H - 1) * stride + span - pad_left + 1
+        rows_in = min(R, -(-need // p_in))
+        xs = unpack(xp[:, :rows_in], p_in, length=min(T, rows_in * p_in))
+        xs = _pad_ops.pad1d(xs, (pad_left, 0), mode=pad_mode)
+        y_head = _plain_conv1d(
+            xs, kernel, bias, stride=stride, dilation=dilation, precision=precision
+        )[:, :H]
+        yp = jnp.concatenate([pack(y_head, p_out), yp[:, h_rows:]], axis=1)
+
+    # --- tail: outputs whose window crosses x[length-1], plus junk slots ---
+    t0 = max(0, -(-(T + pad_left - span) // stride))  # first crossing output
+    r1 = min(t0 // p_out, R - 1)
+    if r1 < R:
+        a = r1 * p_out * stride - pad_left  # first input index needed
+        row_a = max(0, a // p_in)
+        xs = unpack(xp[:, row_a:], p_in, length=max(1, T - row_a * p_in))
+        xs = _pad_ops.pad1d(xs, (0, pad_right), mode=pad_mode)
+        o = r1 * p_out * stride - pad_left - row_a * p_in
+        y_tail = _plain_conv1d(
+            xs[:, o:], kernel, bias, stride=stride, dilation=dilation,
+            precision=precision,
+        )[:, : out_T - r1 * p_out]
+        fill = (R - r1) * p_out - y_tail.shape[1]
+        if fill:
+            y_tail = jnp.pad(y_tail, ((0, 0), (0, fill), (0, 0)))
+        yp = jnp.concatenate([yp[:, :r1], pack(y_tail, p_out)], axis=1)
+
+    return Packed(yp, p_out, out_T)
+
+
+def sconvtranspose1d_packed(
+    t: Packed,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    *,
+    stride: int,
+    pad_left: int,
+    pad_right: int,
+    precision=None,
+) -> Packed:
+    """SConvTranspose1d semantics (full convT then crop) on a packed tensor.
+
+    Crop-only padding means the packed lowering is exact everywhere; only
+    the true output length needs tracking: ``out_T = length*s - pad_l - pad_r``.
+    """
+    xp, p_in, T = t.x, t.p, t.length
+    K = kernel.shape[0]
+    yp, p_out = packed_conv_transpose1d(
+        xp, kernel, bias, stride=stride, p_in=p_in, pad_lo=pad_left,
+        precision=precision,
+    )
+    out_T = (T - 1) * stride + K - pad_left - pad_right
+    return Packed(yp, p_out, out_T)

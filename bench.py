@@ -46,6 +46,7 @@ def main():
         sample_rate=sr,
         target_bandwidths=(1, 2, 4, 8, 12),
         dtype=jnp.bfloat16,
+        packed_conv=True,  # lanes-packed small-channel convs (ops/packed.py)
     )
 
     rng = jax.random.PRNGKey(0)

@@ -45,7 +45,9 @@ def test_two_process_distributed_train_step():
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=600)
+        # generous: ~270 s standalone, but the full suite's own compiles
+        # compete for CPU and can double it
+        out, _ = p.communicate(timeout=1500)
         outs.append(out)
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
