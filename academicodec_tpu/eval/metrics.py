@@ -1,10 +1,11 @@
 """Objective reconstruction metrics.
 
-Native (always available): SI-SNR, multi-scale mel distance.
-External (gated imports): PESQ (``pesq``), STOI (``pystoi``) — the
-reference's evaluation tooling (evaluation_metric/calculate_voc_obj_metrics/
-metrics/compute_pesq.py:11-32, compute_stoi.py:12-27), same resample-to-16k
-convention for PESQ.
+Native (always available): SI-SNR, multi-scale mel distance, STOI/ESTOI
+(``eval/stoi.py``, pystoi-equivalent numerics — the reference's
+compute_stoi.py:12-27 tooling without the external dependency).
+External (gated import): PESQ (``pesq``) — reference compute_pesq.py:11-32,
+same resample-to-16k convention. ITU-T P.862 is a licensed codebase-scale
+algorithm; it stays an optional dependency rather than a reimplementation.
 """
 
 from __future__ import annotations
@@ -69,26 +70,28 @@ def pesq_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> Dict[str, float]:
     }
 
 
-def stoi_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> float:
-    try:
-        from pystoi import stoi
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("pystoi is not installed; pip install pystoi") from e
+def stoi_score(deg: np.ndarray, ref: np.ndarray, sr: int, extended: bool = False) -> float:
+    """STOI via pystoi when installed, else the native implementation
+    (``eval/stoi.py``, numerically equivalent)."""
     n = min(len(deg), len(ref))
-    return float(stoi(ref[:n], deg[:n], sr, extended=False))
+    try:
+        from pystoi import stoi  # pragma: no cover - absent in this image
+    except ImportError:
+        from academicodec_tpu.eval.stoi import stoi
+    return float(stoi(ref[:n], deg[:n], sr, extended=extended))
 
 
 def evaluate_pair(
     deg: np.ndarray, ref: np.ndarray, sr: int, external: bool = True
 ) -> Dict[str, float]:
     out = {"si_snr": si_snr(deg, ref), "mel_l1": mel_distance(deg, ref, sr)}
+    try:
+        out["stoi"] = stoi_score(deg, ref, sr)
+    except ValueError:
+        pass  # too short / all-silent for the 384 ms STOI segments
     if external:
         try:
             out.update(pesq_score(deg, ref, sr))
-        except ImportError:
-            pass
-        try:
-            out["stoi"] = stoi_score(deg, ref, sr)
         except ImportError:
             pass
     return out

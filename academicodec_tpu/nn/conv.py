@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from academicodec_tpu.ops import conv as conv_ops
 from academicodec_tpu.ops import padding as pad_ops
+from academicodec_tpu.ops.packed import Packed
 
 Dtype = Any
 
@@ -157,7 +158,7 @@ class Conv1d(nn.Module):
             if self.use_bias
             else None
         )
-        if not isinstance(x, jnp.ndarray):  # lanes-packed path (ops/packed.py)
+        if isinstance(x, Packed):  # lanes-packed path (ops/packed.py)
             from academicodec_tpu.ops import packed as packed_ops
 
             assert self.groups == 1 and self.norm not in ("layer_norm", "time_group_norm")
@@ -211,7 +212,7 @@ class ConvTranspose1d(nn.Module):
             if self.use_bias
             else None
         )
-        if not isinstance(x, jnp.ndarray):  # lanes-packed path (ops/packed.py)
+        if isinstance(x, Packed):  # lanes-packed path (ops/packed.py)
             from academicodec_tpu.ops import packed as packed_ops
 
             assert self.padding == (0, 0)
@@ -320,7 +321,7 @@ class SConv1d(nn.Module):
     def __call__(self, x, streaming: bool = False):
         k, s, d = self.kernel_size, self.stride, self.dilation
         padding_total = (k - 1) * d - (s - 1)
-        if not isinstance(x, jnp.ndarray):  # lanes-packed input
+        if isinstance(x, Packed):  # lanes-packed input
             assert not streaming
             extra = pad_ops.get_extra_padding_for_conv1d(x.length, k, s, padding_total)
             if self.causal:
@@ -424,7 +425,7 @@ class SConvTranspose1d(nn.Module):
             precision=self.precision,
             name="convtr",
         )
-        if not isinstance(x, jnp.ndarray):  # lanes-packed input
+        if isinstance(x, Packed):  # lanes-packed input
             assert not streaming
             if self.causal:
                 pad_right = math.ceil(padding_total * self.trim_right_ratio)

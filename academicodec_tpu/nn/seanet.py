@@ -199,7 +199,7 @@ class SEANetEncoder(nn.Module):
             )(x, streaming=streaming)
             idx += 1
             mult *= 2
-            if stage + 1 == j_max and not isinstance(x, jnp.ndarray):
+            if stage + 1 == j_max and isinstance(x, packed_ops.Packed):
                 x = packed_ops.unpack_t(x)  # p==1 here: slice-only exit
         if self.lstm:
             slstm = SLSTM(
@@ -364,7 +364,7 @@ class SEANetDecoder(nn.Module):
             name=f"model_{idx}",
             **common,
         )(x, streaming=streaming)
-        if not isinstance(x, jnp.ndarray):
+        if isinstance(x, packed_ops.Packed):
             x = packed_ops.unpack_t(x)
         if self.final_activation is not None:
             final_act = _activation(
