@@ -34,6 +34,8 @@ def get_args():
     p.add_argument("--no_synth", action="store_true", help="tokens only")
     p.add_argument("--normalize", action="store_true",
                    help="peak-normalize *0.95 (infer.ipynb convention)")
+    p.add_argument("--packed_conv", action="store_true",
+                   help="lanes-packed waveform-rate convs (serving fast path)")
     p.add_argument("--fold_weight_norm", action="store_true",
                    help="fold weight-norm params for serving "
                         "(reference remove_weight_norm, vqvae_copy_syn.py:33)")
@@ -62,7 +64,7 @@ def main():
 
     with open(args.config) as fh:
         cfg = HiFiCodecConfig.from_json(json.load(fh))
-    model = VQVAE(config=cfg)
+    model = VQVAE(config=cfg, packed_conv=args.packed_conv)
     variables = load_variables(args.model_path, model)
     if args.fold_weight_norm:
         from academicodec_tpu.utils.fold import fold_vqvae

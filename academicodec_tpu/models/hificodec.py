@@ -23,6 +23,7 @@ from academicodec_tpu.quant.grvq import GroupResidualVQ
 class VQVAE(nn.Module):
     config: HiFiCodecConfig = HiFiCodecConfig()
     norm: str = "weight_norm"  # "none" after utils.fold.fold_vqvae
+    packed_conv: bool = False  # lanes-packed waveform-rate convs (ops/packed.py)
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -33,10 +34,12 @@ class VQVAE(nn.Module):
     def setup(self):
         h = self.config
         self.encoder = HiFiGANEncoder(
-            config=h, norm=self.norm, dtype=self.dtype, precision=self.precision
+            config=h, norm=self.norm, packed_conv=self.packed_conv,
+            dtype=self.dtype, precision=self.precision,
         )
         self.generator = HiFiGANGenerator(
-            config=h, norm=self.norm, dtype=self.dtype, precision=self.precision
+            config=h, norm=self.norm, packed_conv=self.packed_conv,
+            dtype=self.dtype, precision=self.precision,
         )
         self.quantizer = GroupResidualVQ(
             dim=h.latent_dim,

@@ -162,9 +162,10 @@ class Conv1d(nn.Module):
             from academicodec_tpu.ops import packed as packed_ops
 
             assert self.groups == 1 and self.norm not in ("layer_norm", "time_group_norm")
+            pads = packed_pads if packed_pads is not None else self.padding
             return packed_ops.sconv1d_packed(
                 x, kernel, bias, stride=self.stride, dilation=self.dilation,
-                pad_left=packed_pads[0], pad_right=packed_pads[1],
+                pad_left=pads[0], pad_right=pads[1],
                 pad_mode=pad_mode, precision=self.precision,
             )
         y = conv_ops.conv1d(
@@ -215,10 +216,13 @@ class ConvTranspose1d(nn.Module):
         if isinstance(x, Packed):  # lanes-packed path (ops/packed.py)
             from academicodec_tpu.ops import packed as packed_ops
 
-            assert self.padding == (0, 0)
+            # torch-style self.padding is itself a crop — same meaning as
+            # packed_pads; callers use one or the other, never both
+            pads = packed_pads if packed_pads is not None else self.padding
+            assert packed_pads is None or self.padding == (0, 0)
             return packed_ops.sconvtranspose1d_packed(
                 x, kernel, bias, stride=self.stride,
-                pad_left=packed_pads[0], pad_right=packed_pads[1],
+                pad_left=pads[0], pad_right=pads[1],
                 precision=self.precision,
             )
         if streaming_ola:

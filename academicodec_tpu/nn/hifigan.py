@@ -19,8 +19,13 @@ import jax
 import jax.numpy as jnp
 
 from academicodec_tpu.nn.conv import Conv1d, ConvTranspose1d
+from academicodec_tpu.ops import packed as packed_ops
 
 LRELU_SLOPE = 0.1
+
+
+def _lrelu(x, slope=LRELU_SLOPE):
+    return packed_ops.maybe_map(lambda v: jax.nn.leaky_relu(v, slope), x)
 
 
 def get_padding(kernel_size: int, dilation: int = 1) -> int:
@@ -89,7 +94,7 @@ class ResBlock1(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilation):
-            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = _lrelu(x)
             xt = Conv1d(
                 in_channels=self.channels,
                 out_channels=self.channels,
@@ -101,7 +106,7 @@ class ResBlock1(nn.Module):
                 precision=self.precision,
                 name=f"convs1_{i}",
             )(xt)
-            xt = jax.nn.leaky_relu(xt, LRELU_SLOPE)
+            xt = _lrelu(xt)
             xt = Conv1d(
                 in_channels=self.channels,
                 out_channels=self.channels,
@@ -130,7 +135,7 @@ class ResBlock2(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, d in enumerate(self.dilation):
-            xt = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            xt = _lrelu(x)
             xt = Conv1d(
                 in_channels=self.channels,
                 out_channels=self.channels,
@@ -158,6 +163,10 @@ class GroupNormTorch(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         scale = self.param("scale", nn.initializers.ones, (self.channels,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.dtype)
+        if isinstance(x, packed_ops.Packed):
+            return packed_ops.group_norm_packed(
+                x, self.num_groups, scale, bias, self.epsilon
+            )
         B, T, C = x.shape
         g = self.num_groups
         xg = x.reshape(B, T, g, C // g)
@@ -173,6 +182,7 @@ class HiFiGANEncoder(nn.Module):
 
     config: HiFiCodecConfig
     norm: str = "weight_norm"
+    packed_conv: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -182,6 +192,21 @@ class HiFiGANEncoder(nn.Module):
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         base = h.encoder_base_channels
+        ups = list(reversed(list(zip(h.upsample_rates, h.upsample_kernel_sizes))))
+        # lanes-packing for the small-channel waveform-rate head (same policy
+        # as SEANetEncoder.packed_head; ops/packed.py): pack the input so the
+        # C=1..64 stem/stage convs and their GroupNorms run at >=128 effective
+        # lanes, unpack (slice-only, p==1) once channels reach 128.
+        j_max = 0
+        if self.packed_conv:
+            p0 = 1
+            for j, (u, _k) in enumerate(ups):
+                if base * (2**j) > 64 or p0 * u > 16:
+                    break
+                p0 *= u
+                j_max = j + 1
+            if j_max:
+                x = packed_ops.pack_t(x, p0)
         x = Conv1d(
             in_channels=1,
             out_channels=base,
@@ -192,11 +217,10 @@ class HiFiGANEncoder(nn.Module):
             precision=self.precision,
             name="conv_pre",
         )(x)
-        ups = list(reversed(list(zip(h.upsample_rates, h.upsample_kernel_sizes))))
         rks = list(reversed(h.resblock_kernel_sizes))
         rds = list(reversed(h.resblock_dilation_sizes))
         for i, (u, k) in enumerate(ups):
-            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = _lrelu(x)
             x = Conv1d(
                 in_channels=base * (2**i),
                 out_channels=base * (2 ** (i + 1)),
@@ -209,6 +233,8 @@ class HiFiGANEncoder(nn.Module):
                 precision=self.precision,
                 name=f"ups_{i}",
             )(x)
+            if i + 1 == j_max and isinstance(x, packed_ops.Packed):
+                x = packed_ops.unpack_t(x)  # p==1 here: slice-only exit
             ch = base * (2 ** (i + 1))
             if ch < 16:
                 raise ValueError(
@@ -237,8 +263,10 @@ class HiFiGANEncoder(nn.Module):
                     dtype=self.dtype,
                     name=f"normalize_{i * num_kernels + j}",
                 )(xs)
-            x = xs / num_kernels
-        x = jax.nn.leaky_relu(x)  # default torch slope 0.01 (models.py:417)
+            x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
+        if isinstance(x, packed_ops.Packed):
+            x = packed_ops.unpack_t(x)
+        x = _lrelu(x, 0.01)  # default torch slope (models.py:417)
         x = Conv1d(
             in_channels=h.latent_dim,
             out_channels=h.latent_dim,
@@ -259,6 +287,7 @@ class HiFiGANGenerator(nn.Module):
 
     config: HiFiCodecConfig
     norm: str = "weight_norm"
+    packed_conv: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -267,6 +296,19 @@ class HiFiGANGenerator(nn.Module):
         h = self.config
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        # lanes-packing entry: the earliest upsample stage from which the
+        # remaining packing factor stays small and channels are narrow
+        # (same policy as SEANetDecoder.packed_tail; ops/packed.py).
+        entry = None
+        if self.packed_conv:
+            import numpy as _np
+
+            for _i in range(len(h.upsample_rates)):
+                cout = h.upsample_initial_channel // (2 ** (_i + 1))
+                rem = int(_np.prod(h.upsample_rates[_i:]))
+                if rem <= 16 and cout <= 64:
+                    entry = _i
+                    break
         x = Conv1d(
             in_channels=h.latent_dim,
             out_channels=h.upsample_initial_channel,
@@ -279,7 +321,9 @@ class HiFiGANGenerator(nn.Module):
         )(x)
         ch = h.upsample_initial_channel
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
-            x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            if i == entry:
+                x = packed_ops.Packed(x, 1, x.shape[1])
+            x = _lrelu(x)
             x = ConvTranspose1d(
                 in_channels=h.upsample_initial_channel // (2**i),
                 out_channels=h.upsample_initial_channel // (2 ** (i + 1)),
@@ -307,8 +351,8 @@ class HiFiGANGenerator(nn.Module):
                     name=f"resblocks_{i * num_kernels + j}",
                 )(x)
                 xs = r if xs is None else xs + r
-            x = xs / num_kernels
-        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+            x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
+        x = _lrelu(x)
         x = Conv1d(
             in_channels=ch,
             out_channels=1,
@@ -320,4 +364,7 @@ class HiFiGANGenerator(nn.Module):
             precision=self.precision,
             name="conv_post",
         )(x)
-        return jnp.tanh(x)
+        x = packed_ops.maybe_map(jnp.tanh, x)
+        if isinstance(x, packed_ops.Packed):
+            x = packed_ops.unpack_t(x)
+        return x

@@ -322,3 +322,48 @@ def sconvtranspose1d_packed(
     )
     out_T = (T - 1) * stride + K - pad_left - pad_right
     return Packed(yp, p_out, out_T)
+
+
+# ---------------------------------------------------------------------------
+# Packed normalization (HiFi-Codec encoder GroupNorm).
+# ---------------------------------------------------------------------------
+
+
+def junk_mask(t: Packed) -> jnp.ndarray:
+    """``[rows, p*C]`` {0,1} mask of true (non-junk) slots. Static shapes —
+    built host-side, constant-folded by XLA."""
+    R, p, C = t.x.shape[1], t.p, t.channels
+    valid = (np.arange(R * p) < t.length).astype(np.float32)
+    m = np.repeat(valid.reshape(R, p), C, axis=1)  # slot u spans channels u*C:(u+1)*C
+    return jnp.asarray(m, t.x.dtype)
+
+
+def group_norm_packed(
+    t: Packed,
+    num_groups: int,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float,
+) -> Packed:
+    """Channels-last GroupNorm over ``(T, C//g)`` per (batch, group) on a
+    packed tensor: junk slots are masked out of the statistics (and re-zeroed
+    afterwards so downstream tail-corrected convs see clean boundaries).
+    Matches ``GroupNormTorch`` on the unpacked tensor up to float reduction
+    order."""
+    import jax
+
+    B, R, PC = t.x.shape
+    p, C, g = t.p, t.channels, num_groups
+    mask = junk_mask(t)
+    x = t.x * mask
+    xg = x.reshape(B, R, p, g, C // g)
+    cnt = t.length * (C // g)
+    mean = jnp.sum(xg, axis=(1, 2, 4)) / cnt  # [B, g]
+    mb = mean[:, None, None, :, None]
+    # junk slots must not contribute (0 - mean)^2 — mask the deviations
+    dev = (xg - mb) * mask.reshape(1, R, p, g, C // g)
+    var = jnp.sum(dev * dev, axis=(1, 2, 4)) / cnt
+    rs = jax.lax.rsqrt(var + eps)[:, None, None, :, None]
+    y = (xg - mb) * rs * scale.reshape(g, C // g) + bias.reshape(g, C // g)
+    y = y.reshape(B, R, PC) * mask
+    return Packed(y, p, t.length)

@@ -1,0 +1,77 @@
+"""HiFi-Codec serving benchmark: token extraction + decode, packed vs plain.
+
+Graded config 4 (BASELINE.md): HiFi-Codec-24k-320d GRVQ 4-codebook token
+extraction. Measures encode (wav -> [B, frames, 4] tokens), decode
+(tokens -> wav), and the full roundtrip at bf16 serving precision, with and
+without lanes-packed waveform-rate convs (ops/packed.py), on the default
+backend (the real TPU chip under the driver).
+
+Usage: PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/hificodec_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from academicodec_tpu.models.hificodec import VQVAE
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+
+
+def bench(fn, *args, iters=20):
+    out = fn(*args)
+    jax.tree.map(np.asarray, out)  # host-fetch sync (relay-safe)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.tree.map(np.asarray, out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
+    except Exception:
+        pass
+
+    batch, seconds, sr = 8, 10, 24000
+    cfg = HiFiCodecConfig()  # 24k_320d
+    wav = (jax.random.normal(jax.random.PRNGKey(0), (batch, seconds * sr)) * 0.1).astype(
+        jnp.bfloat16
+    )
+
+    results = {}
+    for packed in (False, True):
+        model = VQVAE(config=cfg, packed_conv=packed, dtype=jnp.bfloat16)
+        variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, wav[:1, :sr])
+
+        encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
+        decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
+
+        codes = encode(variables, wav)
+        t_enc = bench(encode, variables, wav)
+        t_dec = bench(decode, variables, codes)
+        key = "packed" if packed else "plain"
+        results[f"{key}_encode_ms"] = round(t_enc * 1e3, 2)
+        results[f"{key}_decode_ms"] = round(t_dec * 1e3, 2)
+        results[f"{key}_roundtrip_rt"] = round(
+            batch * seconds / (t_enc + t_dec), 1
+        )
+        results[f"{key}_encode_rt"] = round(batch * seconds / t_enc, 1)
+
+    results["speedup_encode"] = round(
+        results["plain_encode_ms"] / results["packed_encode_ms"], 2
+    )
+    results["speedup_decode"] = round(
+        results["plain_decode_ms"] / results["packed_decode_ms"], 2
+    )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""Training validation: real GAN steps must improve perceptual metrics.
+
+Trains the full-size Encodec_24k_240d configuration from scratch on a
+synthetic speech-like corpus (on the default backend — the real TPU chip
+under the driver) and tracks reconstruction metrics (SI-SNR, multi-scale
+mel-L1, native STOI) on a fixed held-out batch every ``--eval_every``
+steps. This is the round-2 answer to the "30-step loss-decrease smoke"
+validation debt: the reference's acceptance test is PESQ/STOI improving
+over training (readme.md:33), which this reproduces end to end without
+external data or packages.
+
+Usage:
+    PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/train_validation.py \
+        --steps 500 --eval_every 100
+
+Prints one JSON line per eval point and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from academicodec_tpu.eval.metrics import mel_distance, si_snr, stoi_score
+from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
+
+
+def speechlike_batch(rng: np.random.Generator, batch: int, n: int, sr: int) -> np.ndarray:
+    """Random AM multi-tone 'utterances' with formant-like tracks + noise."""
+    t = np.arange(n) / sr
+    out = np.empty((batch, n), np.float32)
+    for b in range(batch):
+        f0 = rng.uniform(80, 280)
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * rng.uniform(2.0, 6.0) * t + rng.uniform(0, 6.28))
+        sig = np.zeros(n)
+        for h in range(1, 9):  # harmonic stack with slow vibrato
+            vib = 1.0 + 0.01 * np.sin(2 * np.pi * rng.uniform(4, 7) * t)
+            sig += rng.uniform(0.2, 1.0) / h * np.sin(2 * np.pi * f0 * h * vib * t)
+        sig *= env
+        sig += 0.02 * rng.standard_normal(n)
+        out[b] = 0.7 * sig / max(1e-6, np.max(np.abs(sig)))
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser("train_validation")
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--eval_every", type=int, default=100)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--disc_start", type=int, default=100)
+    args = p.parse_args()
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
+    except Exception:
+        pass
+
+    sr = 24000
+    seg = int(args.seconds * sr)
+    cfg = EncodecTrainConfig(
+        sr=sr,
+        ratios=(6, 5, 4, 2),
+        target_bandwidths=(1, 2, 4, 8, 12),
+        discriminator_iter_start=args.disc_start,
+    )
+    trainer = EncodecTrainer(cfg)
+
+    rng = np.random.default_rng(0)
+    state = trainer.init_state(
+        jax.random.PRNGKey(0), jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
+    )
+
+    held_out = speechlike_batch(np.random.default_rng(12345), args.batch, seg, sr)
+    held_out_dev = jnp.asarray(held_out)
+
+    @jax.jit
+    def reconstruct(g_params, g_extra, x):
+        g_x, _, _ = trainer.model.apply(
+            {"params": g_params, **g_extra}, x, n_q=trainer.model.n_q, training=False
+        )
+        return g_x
+
+    def eval_metrics(state):
+        rec = np.asarray(reconstruct(state.g_params, state.g_extra, held_out_dev))
+        row = {
+            "si_snr": round(si_snr(rec, held_out), 3),
+            "mel_l1": round(
+                float(np.mean([mel_distance(rec[i], held_out[i], sr) for i in range(4)])), 4
+            ),
+        }
+        try:
+            row["stoi"] = round(
+                float(np.mean([stoi_score(rec[i], held_out[i], sr) for i in range(4)])), 4
+            )
+        except ValueError:
+            row["stoi"] = float("nan")
+        return row
+
+    history = []
+    t_start = time.perf_counter()
+    m0 = eval_metrics(state)
+    m0["step"] = 0
+    history.append(m0)
+    print(json.dumps(m0), flush=True)
+
+    t_step = None
+    for step in range(1, args.steps + 1):
+        batch = jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
+        state, metrics = trainer.train_step(state, batch)
+        if step == 1:
+            np.asarray(metrics["loss_g"])  # force compile + first dispatch
+            t_step = time.perf_counter()
+        if step % args.eval_every == 0:
+            loss_g = float(np.asarray(metrics["loss_g"]))
+            row = eval_metrics(state)
+            row.update(step=step, loss_g=round(loss_g, 2))
+            history.append(row)
+            print(json.dumps(row), flush=True)
+
+    steady = (time.perf_counter() - t_step) / max(args.steps - 1, 1)
+    first, last = history[0], history[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "train_validation_si_snr_delta",
+                "value": round(last["si_snr"] - first["si_snr"], 3),
+                "unit": "dB",
+                "si_snr_final": last["si_snr"],
+                "stoi_first": first["stoi"],
+                "stoi_final": last["stoi"],
+                "mel_l1_first": first["mel_l1"],
+                "mel_l1_final": last["mel_l1"],
+                "steps": args.steps,
+                "ms_per_step": round(steady * 1e3, 1),
+                "total_min": round((time.perf_counter() - t_start) / 60, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
