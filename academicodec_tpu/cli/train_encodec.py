@@ -69,6 +69,8 @@ def get_args():
     p.add_argument("--soundstream", action="store_true", help="SoundStream recipe flavor")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize")
+    p.add_argument("--native_loader", action="store_true",
+                   help="C++ threaded crop loader (seeks to crops; no resampling)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-20 here")
     return p.parse_args()
@@ -149,10 +151,20 @@ def main():
     steps_per_epoch = len(train_ds) // args.batch_size
     for epoch in range(start_epoch, args.n_epochs + 1):
         state = trainer.set_epoch_lr(state, epoch)
-        it = batch_iterator(
-            train_ds, local_bs, seed=args.seed + epoch, epochs=1,
-            process_index=pidx, process_count=pcount,
-        )
+        if args.native_loader:
+            from academicodec_tpu.data.native_loader import native_batch_iterator
+
+            it = native_batch_iterator(
+                train_ds.files, segment, local_bs,
+                mixture_prob=train_ds.mixture_prob,
+                seed=args.seed + epoch, epochs=1,
+                process_index=pidx, process_count=pcount,
+            )
+        else:
+            it = batch_iterator(
+                train_ds, local_bs, seed=args.seed + epoch, epochs=1,
+                process_index=pidx, process_count=pcount,
+            )
         t_epoch = time.time()
         for i, batch in enumerate(it):
             profiling = args.profile_dir and epoch == start_epoch and i == 10

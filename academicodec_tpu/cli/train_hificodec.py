@@ -46,6 +46,8 @@ def get_args():
     p.add_argument("--num_ckpt_keep", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=None, help="override config")
     p.add_argument("--multihost", action="store_true")
+    p.add_argument("--native_loader", action="store_true",
+                   help="C++ threaded crop loader (seeks to crops; no resampling)")
     p.add_argument("--fine_tuning", action="store_true",
                    help="mel-aligned crops from precomputed mel .npy files "
                         "(reference meldataset.py:183-206)")
@@ -121,10 +123,20 @@ def main():
     for epoch in range(start_epoch, args.training_epochs):
         state = trainer.set_epoch_lr(state, epoch)
         t_epoch = time.time()
-        for batch in batch_iterator(
-            train_ds, local_bs, seed=raw.get("seed", 1234) + epoch, epochs=1,
-            process_index=pidx, process_count=pcount,
-        ):
+        if args.native_loader and not args.fine_tuning:
+            from academicodec_tpu.data.native_loader import native_batch_iterator
+
+            it = native_batch_iterator(
+                train_ds.files, segment, local_bs,
+                seed=raw.get("seed", 1234) + epoch, epochs=1,
+                process_index=pidx, process_count=pcount,
+            )
+        else:
+            it = batch_iterator(
+                train_ds, local_bs, seed=raw.get("seed", 1234) + epoch, epochs=1,
+                process_index=pidx, process_count=pcount,
+            )
+        for batch in it:
             if isinstance(batch, tuple):
                 # fine-tuning: (wav, precomputed mel) — the mel is for
                 # plotting only, the loss recomputes mels on device (same

@@ -1,0 +1,109 @@
+"""Native (C++ thread pool) training batch loader with Python fallback.
+
+``native_batch_iterator`` has the same contract as
+``dataset.batch_iterator`` for plain wav-crop datasets: per-epoch
+reshuffle, DistributedSampler-style rank sharding, drop_last, mixture
+augmentation, corrupt-file noise fallback — but the read path seeks
+directly to the crop window instead of decoding whole files, and batches
+are assembled off the GIL into a bounded prefetch queue
+(native/wavloader.cpp). The random streams differ from the Python
+pipeline's (both are deterministic per seed); loss curves are equivalent
+in distribution.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from academicodec_tpu.native.build import get_wavloader_lib
+
+
+def native_loader_available() -> bool:
+    return get_wavloader_lib() is not None
+
+
+class NativeWavLoader:
+    """Owns the native loader handle; yields ``[batch, segment]`` float32."""
+
+    def __init__(
+        self,
+        files: List[str],
+        segment_length: int,
+        batch_size: int,
+        *,
+        mixture_prob: float = 0.0,
+        seed: int = 0,
+        num_workers: int = 8,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 4,
+    ):
+        lib = get_wavloader_lib()
+        if lib is None:
+            raise RuntimeError("native wav loader unavailable (no toolchain)")
+        if not files:
+            raise ValueError("empty file list")
+        self._lib = lib
+        self.batch_size = batch_size
+        self.segment_length = segment_length
+        arr = (ctypes.c_char_p * len(files))(*[f.encode() for f in files])
+        self._handle = lib.wavloader_create(
+            arr, len(files), segment_length, float(mixture_prob), batch_size,
+            seed & (2**64 - 1), num_workers, process_index, max(process_count, 1),
+            prefetch,
+        )
+        if not self._handle:
+            raise ValueError(
+                "wavloader_create failed (fewer files than a batch after "
+                "sharding, or bad arguments)"
+            )
+        self.batches_per_epoch = int(lib.wavloader_batches_per_epoch(self._handle))
+        self._buf = np.empty((batch_size, segment_length), np.float32)
+
+    def next(self) -> np.ndarray:
+        """Blocking: returns a fresh ``[batch, segment]`` float32 array."""
+        self._lib.wavloader_next(
+            self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        )
+        return self._buf.copy()
+
+    def close(self):
+        if getattr(self, "_handle", None):
+            self._lib.wavloader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def native_batch_iterator(
+    files: List[str],
+    segment_length: int,
+    batch_size: int,
+    *,
+    mixture_prob: float = 0.0,
+    seed: int = 0,
+    num_workers: int = 8,
+    epochs: Optional[int] = None,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> Iterator[np.ndarray]:
+    loader = NativeWavLoader(
+        files, segment_length, batch_size, mixture_prob=mixture_prob, seed=seed,
+        num_workers=num_workers, process_index=process_index,
+        process_count=process_count,
+    )
+    try:
+        total = None if epochs is None else epochs * loader.batches_per_epoch
+        n = 0
+        while total is None or n < total:
+            yield loader.next()
+            n += 1
+    finally:
+        loader.close()
