@@ -23,6 +23,7 @@ def main():
     p.add_argument("--deg_dir", type=str, required=True)
     p.add_argument("--sr", type=int, default=24000)
     p.add_argument("--json_out", type=str, default=None)
+    p.add_argument("--estoi", action="store_true", help="also report extended STOI")
     args = p.parse_args()
 
     names = sorted(f for f in os.listdir(args.deg_dir) if f.endswith(".wav"))
@@ -33,7 +34,15 @@ def main():
             continue
         ref, _ = read_wav(ref_path, sr=args.sr)
         deg, _ = read_wav(os.path.join(args.deg_dir, name), sr=args.sr)
-        rows.append(evaluate_pair(deg, ref, args.sr))
+        row = evaluate_pair(deg, ref, args.sr)
+        if args.estoi:
+            from academicodec_tpu.eval.metrics import stoi_score
+
+            try:
+                row["estoi"] = stoi_score(deg, ref, args.sr, extended=True)
+            except ValueError:
+                pass
+        rows.append(row)
     if not rows:
         raise SystemExit("no overlapping wav files found")
     mean = {k: float(np.mean([r[k] for r in rows if k in r])) for k in rows[0]}
