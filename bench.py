@@ -85,12 +85,20 @@ def main():
     codes, out = roundtrip(variables, wav)
     np.asarray(out)
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        codes, out = roundtrip(variables, wav)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
+    # median of 5 windows: the relay adds high-variance overhead (CLAUDE.md,
+    # ±20% between runs) that only ever inflates time — the median window is
+    # a stabler estimate of steady-state chip throughput than one long run.
+    # Sync each window via a TINY output slice: fetching the full [8, 240k]
+    # wav over the relay costs tens of ms and would be billed to the chip.
+    iters, windows = 8, 5
+    per_window = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            codes, out = roundtrip(variables, wav)
+        np.asarray(out[:, :8])  # depends on the full decode; transfers 128 B
+        per_window.append(time.perf_counter() - t0)
+    dt = sorted(per_window)[len(per_window) // 2]
 
     audio_seconds = batch * seconds * iters
     rt = audio_seconds / dt

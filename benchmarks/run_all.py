@@ -100,6 +100,56 @@ def bench_training(results):
     results["encodec_train_audio_sec_per_s"] = round(16 / dt, 1)
 
 
+def bench_loader(results):
+    import tempfile
+
+    from academicodec_tpu.data.dataset import WavCropDataset, batch_iterator
+    from academicodec_tpu.data.native_loader import (
+        native_batch_iterator,
+        native_loader_available,
+    )
+    from academicodec_tpu.data.wavio import write_wav
+
+    rng = np.random.default_rng(0)
+    sr = 24000
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(32):
+            write_wav(os.path.join(d, f"f{i}.wav"),
+                      (rng.standard_normal(30 * sr) * 0.1).astype(np.float32), sr)
+        ds = WavCropDataset(d, sr, sample_rate=sr)
+
+        def drain(it, n=20):
+            t0 = time.perf_counter()
+            for k, _ in enumerate(it):
+                if k + 1 >= n:
+                    break
+            return (time.perf_counter() - t0) / n
+
+        results["loader_python_ms_per_batch"] = round(
+            drain(batch_iterator(ds, 16, num_workers=8)) * 1000, 2)
+        if native_loader_available():
+            results["loader_native_ms_per_batch"] = round(
+                drain(native_batch_iterator(ds.files, sr, 16, num_workers=8)) * 1000, 2)
+
+
+def bench_hificodec(results):
+    from academicodec_tpu.models.hificodec import VQVAE
+    from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+
+    rng = jax.random.PRNGKey(0)
+    model = VQVAE(config=HiFiCodecConfig(), dtype=jnp.bfloat16)
+    wav = (jax.random.normal(rng, (8, 240000)) * 0.1).astype(jnp.bfloat16)
+    variables = jax.jit(model.init)({"params": rng}, wav[:1, :24000])
+    encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
+    decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
+    codes = encode(variables, wav)
+    t_enc = _timeit(encode, variables, wav)
+    t_dec = _timeit(decode, variables, codes)
+    results["hificodec_encode_ms"] = round(t_enc * 1000, 2)
+    results["hificodec_decode_ms"] = round(t_dec * 1000, 2)
+    results["hificodec_encode_rt_factor"] = round(80 / t_enc, 1)
+
+
 def bench_bitpack(results):
     from academicodec_tpu.codec.binary import pack_array
     from academicodec_tpu.native.build import get_bitpack_lib
@@ -124,8 +174,10 @@ def main():
               file=sys.stderr)
     results = {"backend": jax.default_backend(), "devices": str(jax.devices())}
     bench_bitpack(results)
+    bench_loader(results)
     bench_serving(results)
     bench_tokenization(results)
+    bench_hificodec(results)
     if not args.skip_training:
         bench_training(results)
     print(json.dumps(results, indent=2))
