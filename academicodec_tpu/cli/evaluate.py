@@ -34,18 +34,11 @@ def main():
             continue
         ref, _ = read_wav(ref_path, sr=args.sr)
         deg, _ = read_wav(os.path.join(args.deg_dir, name), sr=args.sr)
-        row = evaluate_pair(deg, ref, args.sr)
-        if args.estoi:
-            from academicodec_tpu.eval.metrics import stoi_score
-
-            try:
-                row["estoi"] = stoi_score(deg, ref, args.sr, extended=True)
-            except ValueError:
-                pass
-        rows.append(row)
+        rows.append(evaluate_pair(deg, ref, args.sr, estoi=args.estoi))
     if not rows:
         raise SystemExit("no overlapping wav files found")
-    mean = {k: float(np.mean([r[k] for r in rows if k in r])) for k in rows[0]}
+    keys = sorted({k for r in rows for k in r})  # a metric may be absent in row 0
+    mean = {k: float(np.mean([r[k] for r in rows if k in r])) for k in keys}
     for k, v in mean.items():
         print(f"{k}: {v:.4f}")
     if args.json_out:

@@ -156,7 +156,7 @@ def main():
 
             it = native_batch_iterator(
                 train_ds.files, segment, local_bs,
-                mixture_prob=train_ds.mixture_prob,
+                sample_rate=args.sr, mixture_prob=train_ds.mixture_prob,
                 seed=args.seed + epoch, epochs=1,
                 process_index=pidx, process_count=pcount,
             )

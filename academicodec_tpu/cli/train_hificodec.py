@@ -47,7 +47,8 @@ def get_args():
     p.add_argument("--batch_size", type=int, default=None, help="override config")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--native_loader", action="store_true",
-                   help="C++ threaded crop loader (seeks to crops; no resampling)")
+                   help="C++ threaded crop loader (seeks to crops; no resampling; "
+                        "incompatible with --fine_tuning's paired mels)")
     p.add_argument("--fine_tuning", action="store_true",
                    help="mel-aligned crops from precomputed mel .npy files "
                         "(reference meldataset.py:183-206)")
@@ -94,6 +95,11 @@ def main():
             raise SystemExit("--fine_tuning requires --input_mels_dir")
         from academicodec_tpu.data.dataset import MelNpyCropDataset
 
+        if args.native_loader:
+            logger.log_info(
+                "--native_loader ignored: --fine_tuning needs paired precomputed "
+                "mels, which only the Python pipeline yields"
+            )
         train_ds = MelNpyCropDataset(
             args.input_training_file, segment, hop_size=model_cfg.hop_size,
             base_mels_path=args.input_mels_dir,
@@ -128,6 +134,7 @@ def main():
 
             it = native_batch_iterator(
                 train_ds.files, segment, local_bs,
+                sample_rate=model_cfg.sampling_rate,
                 seed=raw.get("seed", 1234) + epoch, epochs=1,
                 process_index=pidx, process_count=pcount,
             )

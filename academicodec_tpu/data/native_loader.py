@@ -34,6 +34,7 @@ class NativeWavLoader:
         segment_length: int,
         batch_size: int,
         *,
+        sample_rate: int = 0,
         mixture_prob: float = 0.0,
         seed: int = 0,
         num_workers: int = 8,
@@ -46,14 +47,30 @@ class NativeWavLoader:
             raise RuntimeError("native wav loader unavailable (no toolchain)")
         if not files:
             raise ValueError("empty file list")
+        if sample_rate:
+            # eager guard for the common all-wrong-rate corpus: the native
+            # path never resamples (mismatched files degrade to the
+            # corrupt-file noise fallback at runtime)
+            from academicodec_tpu.data.wavio import read_wav
+
+            try:
+                _, sr0 = read_wav(files[0])
+            except Exception:
+                sr0 = sample_rate  # corrupt first file: runtime fallback
+            if sr0 != sample_rate:
+                raise ValueError(
+                    f"{files[0]}: sample rate {sr0} != expected {sample_rate}; "
+                    "the native loader does not resample — use the Python "
+                    "pipeline (batch_iterator) for resampling corpora"
+                )
         self._lib = lib
         self.batch_size = batch_size
         self.segment_length = segment_length
         arr = (ctypes.c_char_p * len(files))(*[f.encode() for f in files])
         self._handle = lib.wavloader_create(
-            arr, len(files), segment_length, float(mixture_prob), batch_size,
-            seed & (2**64 - 1), num_workers, process_index, max(process_count, 1),
-            prefetch,
+            arr, len(files), segment_length, int(sample_rate), float(mixture_prob),
+            batch_size, seed & (2**64 - 1), num_workers, process_index,
+            max(process_count, 1), prefetch,
         )
         if not self._handle:
             raise ValueError(
@@ -61,14 +78,15 @@ class NativeWavLoader:
                 "sharding, or bad arguments)"
             )
         self.batches_per_epoch = int(lib.wavloader_batches_per_epoch(self._handle))
-        self._buf = np.empty((batch_size, segment_length), np.float32)
 
     def next(self) -> np.ndarray:
-        """Blocking: returns a fresh ``[batch, segment]`` float32 array."""
+        """Blocking: returns a fresh ``[batch, segment]`` float32 array
+        (the native side memcpys straight into it — one copy total)."""
+        buf = np.empty((self.batch_size, self.segment_length), np.float32)
         self._lib.wavloader_next(
-            self._handle, self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         )
-        return self._buf.copy()
+        return buf
 
     def close(self):
         if getattr(self, "_handle", None):
@@ -87,6 +105,7 @@ def native_batch_iterator(
     segment_length: int,
     batch_size: int,
     *,
+    sample_rate: int = 0,
     mixture_prob: float = 0.0,
     seed: int = 0,
     num_workers: int = 8,
@@ -95,9 +114,9 @@ def native_batch_iterator(
     process_count: int = 1,
 ) -> Iterator[np.ndarray]:
     loader = NativeWavLoader(
-        files, segment_length, batch_size, mixture_prob=mixture_prob, seed=seed,
-        num_workers=num_workers, process_index=process_index,
-        process_count=process_count,
+        files, segment_length, batch_size, sample_rate=sample_rate,
+        mixture_prob=mixture_prob, seed=seed, num_workers=num_workers,
+        process_index=process_index, process_count=process_count,
     )
     try:
         total = None if epochs is None else epochs * loader.batches_per_epoch

@@ -82,11 +82,19 @@ def stoi_score(deg: np.ndarray, ref: np.ndarray, sr: int, extended: bool = False
 
 
 def evaluate_pair(
-    deg: np.ndarray, ref: np.ndarray, sr: int, external: bool = True
+    deg: np.ndarray, ref: np.ndarray, sr: int, external: bool = True,
+    estoi: bool = False,
 ) -> Dict[str, float]:
     out = {"si_snr": si_snr(deg, ref), "mel_l1": mel_distance(deg, ref, sr)}
     try:
-        out["stoi"] = stoi_score(deg, ref, sr)
+        if estoi:
+            # one shared front-end pass for both measures
+            from academicodec_tpu.eval.stoi import stoi_and_estoi
+
+            n = min(len(deg), len(ref))
+            out["stoi"], out["estoi"] = stoi_and_estoi(ref[:n], deg[:n], sr)
+        else:
+            out["stoi"] = stoi_score(deg, ref, sr)
     except ValueError:
         pass  # too short / all-silent for the 384 ms STOI segments
     if external:

@@ -125,8 +125,9 @@ def _row_col_normalize(seg: np.ndarray) -> np.ndarray:
     return s
 
 
-def stoi(ref: np.ndarray, deg: np.ndarray, fs: int, extended: bool = False) -> float:
-    """STOI between clean ``ref`` and degraded ``deg`` (same length, 1-D)."""
+def _segments(ref: np.ndarray, deg: np.ndarray, fs: int):
+    """Shared STOI/ESTOI front-end: resample, drop silent frames, STFT,
+    third-octave bands, sliding ``[n_segments, bands, N_SEG]`` windows."""
     if ref.shape != deg.shape:
         n = min(ref.shape[-1], deg.shape[-1])
         ref, deg = ref[..., :n], deg[..., :n]
@@ -147,15 +148,18 @@ def stoi(ref: np.ndarray, deg: np.ndarray, fs: int, extended: bool = False) -> f
     if x_tob.shape[1] < N_SEG:
         raise ValueError("fewer than 30 analysis frames after silence removal")
 
-    # [n_segments, bands, N_SEG] sliding windows
     x_seg = np.stack([x_tob[:, m - N_SEG : m] for m in range(N_SEG, x_tob.shape[1] + 1)])
     y_seg = np.stack([y_tob[:, m - N_SEG : m] for m in range(N_SEG, y_tob.shape[1] + 1)])
+    return x_seg, y_seg
 
-    if extended:
-        x_n = _row_col_normalize(x_seg)
-        y_n = _row_col_normalize(y_seg)
-        return float(np.sum(x_n * y_n / N_SEG) / x_n.shape[0])
 
+def _estoi_from_segments(x_seg: np.ndarray, y_seg: np.ndarray) -> float:
+    x_n = _row_col_normalize(x_seg)
+    y_n = _row_col_normalize(y_seg)
+    return float(np.sum(x_n * y_n / N_SEG) / x_n.shape[0])
+
+
+def _stoi_from_segments(x_seg: np.ndarray, y_seg: np.ndarray) -> float:
     norm = np.linalg.norm(x_seg, axis=2, keepdims=True) / (
         np.linalg.norm(y_seg, axis=2, keepdims=True) + _EPS
     )
@@ -166,3 +170,17 @@ def stoi(ref: np.ndarray, deg: np.ndarray, fs: int, extended: bool = False) -> f
     x_c = x_c / (np.linalg.norm(x_c, axis=2, keepdims=True) + _EPS)
     j, m = x_c.shape[0], x_c.shape[1]
     return float(np.sum(x_c * y_prime) / (j * m))
+
+
+def stoi_and_estoi(ref: np.ndarray, deg: np.ndarray, fs: int) -> tuple[float, float]:
+    """Both measures from one front-end pass (the expensive half)."""
+    x_seg, y_seg = _segments(ref, deg, fs)
+    return _stoi_from_segments(x_seg, y_seg), _estoi_from_segments(x_seg, y_seg)
+
+
+def stoi(ref: np.ndarray, deg: np.ndarray, fs: int, extended: bool = False) -> float:
+    """STOI between clean ``ref`` and degraded ``deg`` (same length, 1-D)."""
+    x_seg, y_seg = _segments(ref, deg, fs)
+    if extended:
+        return _estoi_from_segments(x_seg, y_seg)
+    return _stoi_from_segments(x_seg, y_seg)

@@ -92,8 +92,8 @@ def get_wavloader_lib() -> Optional[ctypes.CDLL]:
             lib.wavloader_create.restype = ctypes.c_void_p
             lib.wavloader_create.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_longlong,
-                ctypes.c_float, ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_uint, ctypes.c_float, ctypes.c_int, ctypes.c_ulonglong,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.wavloader_next.restype = ctypes.c_longlong
             lib.wavloader_next.argtypes = [

@@ -56,7 +56,8 @@ bool parse_header(FILE* f, WavInfo* out) {
     uint32_t size;
     memcpy(&size, ch + 4, 4);
     if (!memcmp(ch, "fmt ", 4)) {
-      uint8_t buf[40];
+      if (size < 16) return false;  // need the full WAVEFORMAT block
+      uint8_t buf[40] = {0};
       uint32_t take = size < 40 ? size : 40;
       if (fread(buf, 1, take, f) != take) return false;
       if (size > take && fseek(f, size - take, SEEK_CUR)) return false;
@@ -149,6 +150,7 @@ struct Loader {
   std::vector<std::string> files;
   std::vector<std::atomic<int64_t>>* lengths = nullptr;  // cached frames (-1 = unknown)
   int64_t segment;
+  uint32_t expect_rate;  // 0 = accept any; else mismatched files -> fallback
   float mixture_prob;
   int batch;
   uint64_t seed;
@@ -218,6 +220,8 @@ struct Loader {
       FILE* f = fopen(path.c_str(), "rb");
       WavInfo w;
       len = (f && parse_header(f, &w)) ? w.frames() : -2;
+      if (len > 0 && expect_rate && w.rate != expect_rate)
+        len = -3;  // wrong sample rate: fall back like a corrupt file
       if (f) fclose(f);
       (*lengths)[file_idx].store(len, std::memory_order_relaxed);
     }
@@ -282,9 +286,9 @@ struct Loader {
 extern "C" {
 
 void* wavloader_create(const char** paths, int n_files, long long segment,
-                       float mixture_prob, int batch, unsigned long long seed,
-                       int n_threads, int proc_index, int proc_count,
-                       int depth) {
+                       unsigned int expect_rate, float mixture_prob, int batch,
+                       unsigned long long seed, int n_threads, int proc_index,
+                       int proc_count, int depth) {
   if (n_files <= 0 || batch <= 0 || segment <= 0 || depth <= 0) return nullptr;
   Loader* L = new Loader();
   L->files.reserve(n_files);
@@ -292,6 +296,7 @@ void* wavloader_create(const char** paths, int n_files, long long segment,
   L->lengths = new std::vector<std::atomic<int64_t>>(n_files);
   for (auto& a : *L->lengths) a.store(-1);
   L->segment = segment;
+  L->expect_rate = expect_rate;
   L->mixture_prob = mixture_prob;
   L->batch = batch;
   L->seed = seed;

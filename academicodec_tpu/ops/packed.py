@@ -316,11 +316,23 @@ def sconvtranspose1d_packed(
     """
     xp, p_in, T = t.x, t.p, t.length
     K = kernel.shape[0]
+    out_T = (T - 1) * stride + K - pad_left - pad_right
+    p_out = p_in * stride
+    if out_T > xp.shape[1] * p_out:
+        # the crop removes fewer than (K - stride) samples (e.g. an odd
+        # torch-style k-u pad), so the true output outgrows the packed rows —
+        # run unpacked and repack rather than silently truncating the tail
+        from academicodec_tpu.ops.conv import conv_transpose1d as _plain_convt
+
+        y = _plain_convt(
+            unpack_t(t), kernel, bias, stride=stride,
+            padding=(pad_left, pad_right), precision=precision,
+        )
+        return Packed(pack(y, p_out), p_out, out_T)
     yp, p_out = packed_conv_transpose1d(
         xp, kernel, bias, stride=stride, p_in=p_in, pad_lo=pad_left,
         precision=precision,
     )
-    out_T = (T - 1) * stride + K - pad_left - pad_right
     return Packed(yp, p_out, out_T)
 
 

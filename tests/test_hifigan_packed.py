@@ -82,3 +82,24 @@ def test_odd_length_and_240d_rates():
     np.testing.assert_allclose(
         np.asarray(y_packed), np.asarray(y_plain), rtol=2e-5, atol=2e-5
     )
+
+
+def test_odd_kernel_minus_stride_crop():
+    """Generator stage with odd k-u (kernel 5, rate 2): the torch crop is
+    asymmetric, the true output outgrows the packed rows, and the packed
+    path must fall back instead of silently truncating the last sample."""
+    cfg = HiFiCodecConfig(
+        upsample_rates=(2, 2, 2, 2),
+        upsample_kernel_sizes=(4, 4, 4, 5),  # last stage: k-u = 3 (odd)
+        upsample_initial_channel=128,
+        resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),),
+        encoder_base_channels=16,
+    )
+    lat = jax.random.normal(jax.random.PRNGKey(5), (1, 40, cfg.latent_dim)) * 0.3
+    plain_m = HiFiGANGenerator(config=cfg)
+    variables = plain_m.init({"params": jax.random.PRNGKey(6)}, lat)
+    plain = plain_m.apply(variables, lat)
+    packed = HiFiGANGenerator(config=cfg, packed_conv=True).apply(variables, lat)
+    assert plain.shape == packed.shape
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), rtol=1e-5, atol=1e-5)

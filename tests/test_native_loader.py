@@ -153,3 +153,38 @@ def test_mixture_prob_changes_stream(tmp_path):
     assert not np.allclose(xa, xb)  # every item is a two-clip sum
     # mixture adds a second clip: levels roughly double on average
     assert xb.mean() > 1.5 * xa.mean()
+
+
+def test_wrong_sample_rate_rejected_eagerly(tmp_path):
+    files = _make_corpus(tmp_path, n_files=2, length=300)
+    with pytest.raises(ValueError, match="does not resample"):
+        NativeWavLoader(files, 300, 2, sample_rate=24000)  # corpus is 16 kHz
+
+
+def test_mixed_rate_files_fall_back_to_noise(tmp_path):
+    """A wrong-rate file mid-corpus degrades to the noise fallback (like a
+    corrupt file) instead of silently training on mis-rated audio."""
+    ok = str(tmp_path / "ok.wav")
+    write_wav(ok, np.full(300, 0.5, np.float32), 16000)
+    bad = str(tmp_path / "bad.wav")
+    write_wav(bad, np.full(300, 0.5, np.float32), 48000)
+    loader = NativeWavLoader([ok, bad], 300, 2, sample_rate=16000, seed=0)
+    batch = loader.next()
+    loader.close()
+    kinds = sorted(round(float(r.mean()), 1) for r in batch)
+    assert kinds[0] < 0.1 and kinds[1] == 0.5  # one noise row, one real row
+
+
+def test_truncated_fmt_chunk_is_corrupt(tmp_path):
+    """A 14-byte WAVEFORMAT fmt chunk must be treated as corrupt, not parsed
+    from uninitialized memory."""
+    p = tmp_path / "oldfmt.wav"
+    fmt = struct.pack("<HHIIH", 1, 1, 16000, 32000, 2)  # 14 bytes, no bits field
+    data = b"\x00\x00" * 64
+    riff = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(riff)) + riff)
+    loader = NativeWavLoader([str(p)], 128, 1, seed=0)
+    row = loader.next()[0]
+    loader.close()
+    assert row.std() > 0.01  # noise fallback, not garbage-decoded zeros
