@@ -288,6 +288,8 @@ class HiFiGANGenerator(nn.Module):
     config: HiFiCodecConfig
     norm: str = "weight_norm"
     packed_conv: bool = False
+    packed_entry: int = -1  # upsample stage to enter packed layout (-1 = auto)
+    packed_p0: int = 1  # initial packing factor applied at entry
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -303,12 +305,15 @@ class HiFiGANGenerator(nn.Module):
         if self.packed_conv:
             import numpy as _np
 
-            for _i in range(len(h.upsample_rates)):
-                cout = h.upsample_initial_channel // (2 ** (_i + 1))
-                rem = int(_np.prod(h.upsample_rates[_i:]))
-                if rem <= 16 and cout <= 64:
-                    entry = _i
-                    break
+            if self.packed_entry >= 0:
+                entry = self.packed_entry
+            else:
+                for _i in range(len(h.upsample_rates)):
+                    cout = h.upsample_initial_channel // (2 ** (_i + 1))
+                    rem = int(_np.prod(h.upsample_rates[_i:]))
+                    if rem <= 16 and cout <= 64:
+                        entry = _i
+                        break
         x = Conv1d(
             in_channels=h.latent_dim,
             out_channels=h.upsample_initial_channel,
@@ -322,7 +327,7 @@ class HiFiGANGenerator(nn.Module):
         ch = h.upsample_initial_channel
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             if i == entry:
-                x = packed_ops.Packed(x, 1, x.shape[1])
+                x = packed_ops.pack_t(x, self.packed_p0)
             x = _lrelu(x)
             x = ConvTranspose1d(
                 in_channels=h.upsample_initial_channel // (2**i),

@@ -247,6 +247,24 @@ def sconv1d_packed(
     out_T = (T + pad_left + pad_right - span - 1) // stride + 1
     p_out = p_in // stride
 
+    if pad_mode in ("zero", "constant"):
+        # Zero-extension IS zero padding: packed_conv1d is exact for every
+        # valid output, so the reflect-mode head/tail splice corrections
+        # (two full-tensor concats per conv — fusion killers) are skipped
+        # entirely. Junk tail slots (T % p_in != 0) are masked to zero so
+        # valid outputs whose window crosses x[T-1] read exact zeros; junk
+        # *output* slots are re-zeroed so downstream packed convs stay exact.
+        if R * p_in != T:
+            xp = xp * junk_mask(t)
+        yp, _ = packed_conv1d(
+            xp, kernel, bias, stride=stride, dilation=dilation, p_in=p_in,
+            pad_lo=pad_left, precision=precision,
+        )
+        out = Packed(yp, p_out, out_T)
+        if yp.shape[1] * p_out != out_T:
+            out = Packed(yp * junk_mask(out), p_out, out_T)
+        return out
+
     # tiny inputs: head/tail corrections would overlap — just run unpacked
     h_est = -(-max(pad_left, 1) // stride)
     t0_est = max(0, -(-(T + pad_left - span) // stride))
