@@ -360,12 +360,14 @@ def sconvtranspose1d_packed(
 
 
 def junk_mask(t: Packed) -> jnp.ndarray:
-    """``[rows, p*C]`` {0,1} mask of true (non-junk) slots. Static shapes —
-    built host-side, constant-folded by XLA."""
+    """``[rows, p*C]`` {0,1} mask of true (non-junk) slots, built from iotas
+    (fuses into the consumer; no giant array literal in the graph)."""
     R, p, C = t.x.shape[1], t.p, t.channels
-    valid = (np.arange(R * p) < t.length).astype(np.float32)
-    m = np.repeat(valid.reshape(R, p), C, axis=1)  # slot u spans channels u*C:(u+1)*C
-    return jnp.asarray(m, t.x.dtype)
+    pos = lax.broadcasted_iota(jnp.int32, (R, p), 0) * p + lax.broadcasted_iota(
+        jnp.int32, (R, p), 1
+    )  # absolute time index of slot u in row r
+    valid = (pos < t.length).astype(t.x.dtype)
+    return jnp.broadcast_to(valid[:, :, None], (R, p, C)).reshape(R, p * C)
 
 
 def group_norm_packed(

@@ -11,11 +11,19 @@ the TPU-native analogue of the reference's NCCL init + DistributedSampler
 Usage: python multihost_worker.py <coordinator_port> <process_id> <num_processes>
 """
 
+import os
 import sys
 
 
 def main() -> None:
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+    # the first collective's Gloo rendezvous defaults to a 30 s KV timeout;
+    # compile skew between the two workers (first run or cold cache, CPU
+    # contention from the surrounding suite) easily exceeds it — raise it
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_collective_timeout_seconds=1200"
+    ).strip()
 
     import jax
 

@@ -103,3 +103,18 @@ def test_odd_kernel_minus_stride_crop():
     packed = HiFiGANGenerator(config=cfg, packed_conv=True).apply(variables, lat)
     assert plain.shape == packed.shape
     np.testing.assert_allclose(np.asarray(packed), np.asarray(plain), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("entry,p0", [(2, 1), (3, 2), (2, 2), (3, 1)])
+def test_generator_entry_policies_match(vqvae_pair, entry, p0):
+    """Every packed entry point / initial packing factor is exact (the knobs
+    behind benchmarks/hifigen_entry_probe.py)."""
+    _, _, variables, _ = vqvae_pair
+    gen_vars = {"params": variables["params"]["generator"]}
+    lat = jax.random.normal(jax.random.PRNGKey(2), (2, 37, CFG.latent_dim)) * 0.3
+    plain = HiFiGANGenerator(config=CFG).apply(gen_vars, lat)
+    got = HiFiGANGenerator(
+        config=CFG, packed_conv=True, packed_entry=entry, packed_p0=p0
+    ).apply(gen_vars, lat)
+    assert got.shape == plain.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(plain), rtol=1e-5, atol=1e-5)
