@@ -38,6 +38,9 @@ def get_args():
     p.add_argument("--dimension", type=int, default=512)
     p.add_argument("--bins", type=int, default=1024)
     p.add_argument("-r", "--rescale", action="store_true")
+    p.add_argument("--packed_conv", action="store_true",
+                   help="lanes-packed waveform-rate convs (serving fast path; "
+                        "identical tokens, float-noise wav deltas)")
     p.add_argument("--ecdc", action="store_true", help="also write .ecdc streams")
     p.add_argument("--lm", type=str, default=None,
                    help="token-LM checkpoint dir (cli/train_lm.py) for "
@@ -92,6 +95,7 @@ def main():
         sample_rate=args.sr,
         target_bandwidths=tuple(args.target_bandwidths),
         bins=args.bins,
+        packed_conv=args.packed_conv,
     )
     variables = load_model_variables(args.resume_path, model)
     lm = lm_vars = None

@@ -153,7 +153,10 @@ class SEANetEncoder(nn.Module):
                 p0 *= r
                 j_max = j + 1
             if j_max:
-                x = packed_ops.pack_t(x, p0)
+                # deferred-halo mode (ops/packed.py Packed): the halo must
+                # survive the head's downsampling (total stride <= 16), so
+                # it is larger than the decoder's
+                x = packed_ops.pack_t(x, p0, halo=1024)
         common = dict(
             norm=self.norm,
             causal=self.causal,
@@ -321,7 +324,9 @@ class SEANetDecoder(nn.Module):
                     break
         for stage, ratio in enumerate(self.ratios):
             if stage == entry:
-                x = packed_ops.Packed(x, 1, x.shape[1])
+                # deferred-halo mode: reflect-edge corrections ride tiny
+                # strips and splice once at the end (ops/packed.py Packed)
+                x = packed_ops.pack_t(x, 1, halo=256)
             idx += 1  # activation slot
             x = packed_ops.maybe_map(act, x)
             x = SConvTranspose1d(

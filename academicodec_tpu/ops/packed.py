@@ -191,22 +191,57 @@ from academicodec_tpu.ops.conv import conv1d as _plain_conv1d
 
 @dataclasses.dataclass
 class Packed:
-    """A lanes-packed tensor with its packing factor and true length."""
+    """A lanes-packed tensor with its packing factor and true length.
+
+    Deferred-halo mode (``head``/``tail`` strips present): the packed stream
+    runs every conv in plain zero-extension form — interior outputs are
+    identical under ANY edge-padding mode, so no per-conv boundary splices
+    are needed — while small unpacked strips of the true signal flow through
+    the same ops with exact (reflect/zero) edge semantics. ``hb``/``tb``
+    count the corrupt head/tail samples of the main stream; ``unpack_t``
+    splices the strips over them ONCE at the end of the chain, where the
+    tensor is cheapest. This removes the two full-tensor splices per reflect
+    conv (~40% of the packed SEANet decoder's wall time, measured in
+    benchmarks/seanet_padmode_probe.py).
+    """
 
     x: jnp.ndarray  # [B, rows, p*C]
     p: int
     length: int  # true (unpacked) time length; rows*p - length slots are junk
+    head: Optional[jnp.ndarray] = None  # [B, Vh, C] exact output prefix
+    tail: Optional[jnp.ndarray] = None  # [B, Vt, C] exact output suffix
+    hb: int = 0  # corrupt head samples in x (deferred mode)
+    tb: int = 0  # corrupt tail samples in x (deferred mode)
 
     @property
     def channels(self) -> int:
         return self.x.shape[-1] // self.p
 
+    @property
+    def deferred(self) -> bool:
+        return self.head is not None
+
     def __add__(self, other: "Packed") -> "Packed":
         assert self.p == other.p and self.length == other.length
+        if self.deferred or other.deferred:
+            assert self.deferred and other.deferred
+            vh = min(self.head.shape[1], other.head.shape[1])
+            vt = min(self.tail.shape[1], other.tail.shape[1])
+            return Packed(
+                self.x + other.x, self.p, self.length,
+                head=self.head[:, :vh] + other.head[:, :vh],
+                tail=self.tail[:, -vt:] + other.tail[:, -vt:],
+                hb=max(self.hb, other.hb), tb=max(self.tb, other.tb),
+            )
         return Packed(self.x + other.x, self.p, self.length)
 
     def map(self, fn) -> "Packed":
         """Apply an elementwise fn (activation) slot-wise."""
+        if self.deferred:
+            return Packed(
+                fn(self.x), self.p, self.length,
+                head=fn(self.head), tail=fn(self.tail), hb=self.hb, tb=self.tb,
+            )
         return Packed(fn(self.x), self.p, self.length)
 
 
@@ -215,12 +250,36 @@ def maybe_map(fn, x):
     return x.map(fn) if isinstance(x, Packed) else fn(x)
 
 
-def pack_t(x: jnp.ndarray, p: int) -> Packed:
+def pack_t(x: jnp.ndarray, p: int, halo: int = 0) -> Packed:
+    """Pack ``x``; ``halo > 0`` enters deferred-halo mode with strips of
+    ``min(halo, T)`` true samples at each edge (see ``Packed``)."""
+    if halo > 0:
+        v = min(halo, x.shape[1])
+        return Packed(pack(x, p), p, x.shape[1], head=x[:, :v], tail=x[:, -v:])
     return Packed(pack(x, p), p, x.shape[1])
 
 
 def unpack_t(t: Packed) -> jnp.ndarray:
-    return unpack(t.x, t.p, length=t.length)
+    y = unpack(t.x, t.p, length=t.length)
+    if t.deferred and (t.hb or t.tb):
+        assert t.hb <= t.head.shape[1] and t.tb <= t.tail.shape[1], (
+            t.hb, t.head.shape, t.tb, t.tail.shape,
+        )
+        parts = []
+        if t.hb:
+            parts.append(t.head[:, : t.hb])
+        parts.append(y[:, t.hb : t.length - t.tb])
+        if t.tb:
+            parts.append(t.tail[:, t.tail.shape[1] - t.tb :])
+        y = jnp.concatenate(parts, axis=1)
+    return y
+
+
+def _rematerialize(t: Packed, halo: int) -> Packed:
+    """Splice strips into the stream and re-enter deferred mode with fresh
+    full-strength strips (used when erosion left the strips too short —
+    only reachable on tiny inputs, where this concat is cheap)."""
+    return pack_t(unpack_t(t), t.p, halo=halo)
 
 
 def sconv1d_packed(
@@ -246,6 +305,42 @@ def sconv1d_packed(
     span = (K - 1) * dilation
     out_T = (T + pad_left + pad_right - span - 1) // stride + 1
     p_out = p_in // stride
+
+    if t.deferred:
+        # Deferred-halo mode: main stream runs pure zero-extension (exact
+        # for every interior output); true edge semantics live in the strips.
+        vh, vt = t.head.shape[1], t.tail.shape[1]
+        # corrupt-region growth: outputs whose window reads a corrupt sample
+        # or crosses the signal edge (where zero-extension != pad_mode)
+        hb_out = -(-(t.hb + pad_left) // stride)
+        tc = max(0, -(-(T - t.tb + pad_left - span) // stride))
+        tb_out = max(0, out_T - min(tc, out_T))
+        vh_out = (vh + pad_left - span - 1) // stride + 1
+        t1 = -(-(T - vt + pad_left) // stride)  # first output inside tail strip
+        vt_out = out_T - t1
+        if vh_out < max(1, hb_out) or vt_out < max(1, tb_out):
+            # strips eroded below the corrupt region (tiny inputs only):
+            # splice now, compute exactly unpacked, re-enter with full strips
+            xs = _pad_ops.pad1d(unpack_t(t), (pad_left, pad_right), mode=pad_mode)
+            y = _plain_conv1d(
+                xs, kernel, bias, stride=stride, dilation=dilation,
+                precision=precision,
+            )[:, :out_T]
+            return pack_t(y, p_out, halo=max(vh, vt))
+        yp, _ = packed_conv1d(
+            xp, kernel, bias, stride=stride, dilation=dilation, p_in=p_in,
+            pad_lo=pad_left, precision=precision,
+        )
+        head2 = _plain_conv1d(
+            _pad_ops.pad1d(t.head, (pad_left, 0), mode=pad_mode),
+            kernel, bias, stride=stride, dilation=dilation, precision=precision,
+        )
+        r_off = t1 * stride - pad_left - (T - vt)  # strip-local grid offset
+        tail2 = _plain_conv1d(
+            _pad_ops.pad1d(t.tail, (0, pad_right), mode=pad_mode)[:, r_off:],
+            kernel, bias, stride=stride, dilation=dilation, precision=precision,
+        )[:, :vt_out]
+        return Packed(yp, p_out, out_T, head=head2, tail=tail2, hb=hb_out, tb=tb_out)
 
     if pad_mode in ("zero", "constant"):
         # Zero-extension IS zero padding: packed_conv1d is exact for every
@@ -294,7 +389,9 @@ def sconv1d_packed(
         y_head = _plain_conv1d(
             xs, kernel, bias, stride=stride, dilation=dilation, precision=precision
         )[:, :H]
-        yp = jnp.concatenate([pack(y_head, p_out), yp[:, h_rows:]], axis=1)
+        # dynamic_update_slice, not concatenate: XLA updates in place where
+        # safe; a concat always materializes a fresh full-size buffer
+        yp = lax.dynamic_update_slice(yp, pack(y_head, p_out), (0, 0, 0))
 
     # --- tail: outputs whose window crosses x[length-1], plus junk slots ---
     t0 = max(0, -(-(T + pad_left - span) // stride))  # first crossing output
@@ -312,7 +409,7 @@ def sconv1d_packed(
         fill = (R - r1) * p_out - y_tail.shape[1]
         if fill:
             y_tail = jnp.pad(y_tail, ((0, 0), (0, fill), (0, 0)))
-        yp = jnp.concatenate([yp[:, :r1], pack(y_tail, p_out)], axis=1)
+        yp = lax.dynamic_update_slice(yp, pack(y_tail, p_out), (0, r1, 0))
 
     return Packed(yp, p_out, out_T)
 
@@ -336,12 +433,48 @@ def sconvtranspose1d_packed(
     K = kernel.shape[0]
     out_T = (T - 1) * stride + K - pad_left - pad_right
     p_out = p_in * stride
+    from academicodec_tpu.ops.conv import conv_transpose1d as _plain_convt
+
+    if t.deferred:
+        vh, vt = t.head.shape[1], t.tail.shape[1]
+        # convT itself is exact (crop-only padding); corruption comes only
+        # from corrupt inputs and junk tail slots feeding the last outputs
+        hb_out = max(0, (t.hb - 1) * stride + K - pad_left) if t.hb else 0
+        tb_out = max(0, out_T - max(0, (T - t.tb) * stride - pad_left))
+        vh_out = vh * stride - pad_left
+        vt_out = vt * stride - pad_right
+        if (
+            out_T > xp.shape[1] * p_out
+            or K < stride
+            or vh_out < max(1, hb_out)
+            or vt_out < max(1, tb_out)
+        ):
+            # odd crops / eroded strips: splice, run exact unpacked, re-enter
+            y = _plain_convt(
+                unpack_t(t), kernel, bias, stride=stride,
+                padding=(pad_left, pad_right), precision=precision,
+            )
+            return pack_t(y, p_out, halo=max(vh, vt))
+        yp, p_out = packed_conv_transpose1d(
+            xp, kernel, bias, stride=stride, p_in=p_in, pad_lo=pad_left,
+            precision=precision,
+        )
+        # strip prefixes/suffixes: full convT of the strip, cropped so only
+        # fully-determined outputs remain (K - stride overlap cut off)
+        head2 = _plain_convt(
+            t.head, kernel, bias, stride=stride,
+            padding=(pad_left, K - stride), precision=precision,
+        )
+        tail2 = _plain_convt(
+            t.tail, kernel, bias, stride=stride,
+            padding=(K - stride, pad_right), precision=precision,
+        )
+        return Packed(yp, p_out, out_T, head=head2, tail=tail2, hb=hb_out, tb=tb_out)
+
     if out_T > xp.shape[1] * p_out:
         # the crop removes fewer than (K - stride) samples (e.g. an odd
         # torch-style k-u pad), so the true output outgrows the packed rows —
         # run unpacked and repack rather than silently truncating the tail
-        from academicodec_tpu.ops.conv import conv_transpose1d as _plain_convt
-
         y = _plain_convt(
             unpack_t(t), kernel, bias, stride=stride,
             padding=(pad_left, pad_right), precision=precision,
@@ -381,8 +514,11 @@ def group_norm_packed(
     packed tensor: junk slots are masked out of the statistics (and re-zeroed
     afterwards so downstream tail-corrected convs see clean boundaries).
     Matches ``GroupNormTorch`` on the unpacked tensor up to float reduction
-    order."""
+    order. (Deferred-halo streams are unsupported: GN statistics are global
+    over T, so corrupt edges would pollute every output.)"""
     import jax
+
+    assert not t.deferred, "group_norm_packed requires immediate-mode Packed"
 
     B, R, PC = t.x.shape
     p, C, g = t.p, t.channels, num_groups

@@ -222,3 +222,52 @@ def test_soundstream_packed_conv_model_parity():
     d0 = m0.apply(v, e0, method=SoundStream.decode)
     d1 = m1.apply(v, e0, method=SoundStream.decode)
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("T", [2400, 2401, 2389])  # aligned + junk-slot tails
+def test_deferred_halo_chain_exact(T):
+    """Deferred-halo mode (pack_t(halo=...)): zero-extension main stream +
+    strips spliced once at unpack equals the plain reflect pipeline through
+    a strided conv -> convT -> dilated resblock-style chain."""
+    rng = jax.random.PRNGKey(7)
+    ks = jax.random.split(rng, 5)
+    x = jax.random.normal(ks[0], (2, T, 16), jnp.float32) * 0.5
+    Wd = jax.random.normal(ks[1], (4, 16, 32), jnp.float32) * 0.2
+    Wt = jax.random.normal(ks[2], (4, 32, 16), jnp.float32) * 0.2
+    W3 = jax.random.normal(ks[3], (3, 16, 16), jnp.float32) * 0.2
+    W7 = jax.random.normal(ks[4], (7, 16, 1), jnp.float32) * 0.2
+    elu = jax.nn.elu
+
+    # plain reference
+    y = conv1d(pad_ops.pad1d(x, (1, 2), mode="reflect"), Wd, stride=2)
+    y = pad_ops.unpad1d(conv_transpose1d(elu(y), Wt, stride=2, padding=(0, 0)), (1, 1))
+    h = conv1d(pad_ops.pad1d(elu(y), (2, 2), mode="reflect"), W3, dilation=2)
+    y = y + h
+    ref = conv1d(pad_ops.pad1d(elu(y), (3, 3), mode="reflect"), W7)
+
+    t = pack_t(x, 8, halo=200)
+    t = sconv1d_packed(t, Wd, None, stride=2, pad_left=1, pad_right=2)
+    t = t.map(elu)
+    t = sconvtranspose1d_packed(t, Wt, None, stride=2, pad_left=1, pad_right=1)
+    h = sconv1d_packed(t.map(elu), W3, None, dilation=2, pad_left=2, pad_right=2)
+    t = t + h
+    t = sconv1d_packed(t.map(elu), W7, None, pad_left=3, pad_right=3)
+    assert t.deferred and (t.hb or t.tb)  # the splice path is actually live
+    got = unpack_t(t)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_deferred_halo_tiny_input_remat():
+    """Tiny inputs erode the strips below the corrupt region; the deferred
+    ops must fall back to exact unpacked compute (remat path) seamlessly."""
+    rng = jax.random.PRNGKey(9)
+    x = jax.random.normal(rng, (1, 40, 8), jnp.float32)
+    W7 = jax.random.normal(rng, (7, 8, 8), jnp.float32) * 0.2
+    ref = x
+    for _ in range(4):
+        ref = conv1d(pad_ops.pad1d(ref, (3, 3), mode="reflect"), W7)
+    t = pack_t(x, 8, halo=16)
+    for _ in range(4):
+        t = sconv1d_packed(t, W7, None, pad_left=3, pad_right=3)
+    np.testing.assert_allclose(np.asarray(unpack_t(t)), np.asarray(ref), atol=2e-4, rtol=1e-4)
