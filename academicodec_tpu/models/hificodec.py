@@ -38,7 +38,8 @@ class VQVAE(nn.Module):
             dtype=self.dtype, precision=self.precision,
         )
         self.generator = HiFiGANGenerator(
-            config=h, norm=self.norm, packed_conv=self.packed_conv,
+            config=h, norm=self.norm, causal=h.causal,
+            packed_conv=self.packed_conv,
             dtype=self.dtype, precision=self.precision,
         )
         self.quantizer = GroupResidualVQ(
@@ -73,3 +74,11 @@ class VQVAE(nn.Module):
         (reference vqvae.py:31-35)."""
         q = self.quantizer.embed(codes)
         return self.generator(q)[..., 0]
+
+    def decode_stream(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """Chunked streaming decode (causal models): feed ``[B, frames, 4]``
+        token chunks, get ``[B, frames*hop]`` waveform; per-conv caches carry
+        across calls (see streaming.StreamingVQVAEDecoder)."""
+        assert self.config.causal, "decode_stream requires a causal config"
+        q = self.quantizer.embed(codes)
+        return self.generator(q, streaming=True)[..., 0]

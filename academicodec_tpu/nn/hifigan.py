@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from academicodec_tpu.nn.conv import Conv1d, ConvTranspose1d
+from academicodec_tpu.nn.conv import Conv1d, ConvTranspose1d, SConv1d, SConvTranspose1d
 from academicodec_tpu.ops import packed as packed_ops
 
 LRELU_SLOPE = 0.1
@@ -62,6 +62,10 @@ class HiFiCodecConfig:
     fmin: int = 0
     fmax: int = 8000
     fmax_for_loss: Any = None
+    # beyond-reference: causal generator (left-padded convs, right-trimmed
+    # convT) -> tokens-to-wav decode is chunk-streamable (encoder unchanged;
+    # see HiFiGANEncoder docstring for why it has no causal variant)
+    causal: bool = False
 
     @property
     def latent_dim(self) -> int:
@@ -81,6 +85,39 @@ class HiFiCodecConfig:
         return cls(**kw)
 
 
+def _res_conv(
+    *, channels, kernel_size, dilation, norm, causal, dtype, precision, name
+):
+    """A resblock conv: symmetric "same" zero padding (reference
+    models.py:18-125), or its causal counterpart (all-left padding via
+    SConv1d, which also provides the chunked-streaming cache)."""
+    if causal:
+        return SConv1d(
+            in_channels=channels,
+            out_channels=channels,
+            kernel_size=kernel_size,
+            dilation=dilation,
+            norm=norm,
+            causal=True,
+            pad_mode="zero",
+            dtype=dtype,
+            precision=precision,
+            name=name,
+        )
+    conv = Conv1d(
+        in_channels=channels,
+        out_channels=channels,
+        kernel_size=kernel_size,
+        dilation=dilation,
+        padding=(get_padding(kernel_size, dilation),) * 2,
+        norm=norm,
+        dtype=dtype,
+        precision=precision,
+        name=name,
+    )
+    return lambda x, streaming=False: conv(x)
+
+
 class ResBlock1(nn.Module):
     """3x [lrelu -> dilated conv -> lrelu -> unit conv] with residual adds."""
 
@@ -88,36 +125,26 @@ class ResBlock1(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3, 5)
     norm: str = "weight_norm"
+    causal: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+        common = dict(
+            channels=self.channels, kernel_size=self.kernel_size,
+            norm=self.norm, causal=self.causal, dtype=self.dtype,
+            precision=self.precision,
+        )
         for i, d in enumerate(self.dilation):
             xt = _lrelu(x)
-            xt = Conv1d(
-                in_channels=self.channels,
-                out_channels=self.channels,
-                kernel_size=self.kernel_size,
-                dilation=d,
-                padding=(get_padding(self.kernel_size, d),) * 2,
-                norm=self.norm,
-                dtype=self.dtype,
-                precision=self.precision,
-                name=f"convs1_{i}",
-            )(xt)
+            xt = _res_conv(dilation=d, name=f"convs1_{i}", **common)(
+                xt, streaming=streaming
+            )
             xt = _lrelu(xt)
-            xt = Conv1d(
-                in_channels=self.channels,
-                out_channels=self.channels,
-                kernel_size=self.kernel_size,
-                dilation=1,
-                padding=(get_padding(self.kernel_size, 1),) * 2,
-                norm=self.norm,
-                dtype=self.dtype,
-                precision=self.precision,
-                name=f"convs2_{i}",
-            )(xt)
+            xt = _res_conv(dilation=1, name=f"convs2_{i}", **common)(
+                xt, streaming=streaming
+            )
             x = xt + x
         return x
 
@@ -129,24 +156,19 @@ class ResBlock2(nn.Module):
     kernel_size: int = 3
     dilation: Tuple[int, ...] = (1, 3)
     norm: str = "weight_norm"
+    causal: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
         for i, d in enumerate(self.dilation):
             xt = _lrelu(x)
-            xt = Conv1d(
-                in_channels=self.channels,
-                out_channels=self.channels,
-                kernel_size=self.kernel_size,
-                dilation=d,
-                padding=(get_padding(self.kernel_size, d),) * 2,
-                norm=self.norm,
-                dtype=self.dtype,
-                precision=self.precision,
-                name=f"convs_{i}",
-            )(xt)
+            xt = _res_conv(
+                channels=self.channels, kernel_size=self.kernel_size,
+                dilation=d, norm=self.norm, causal=self.causal,
+                dtype=self.dtype, precision=self.precision, name=f"convs_{i}",
+            )(xt, streaming=streaming)
             x = xt + x
         return x
 
@@ -178,7 +200,13 @@ class GroupNormTorch(nn.Module):
 
 class HiFiGANEncoder(nn.Module):
     """Mirrored HiFi-GAN generator used as the HiFi-Codec encoder
-    (reference models.py:364-427). ``[B, T, 1]`` -> ``[B, frames, 512]``."""
+    (reference models.py:364-427). ``[B, T, 1]`` -> ``[B, frames, 512]``.
+
+    The encoder has no causal variant by design: its per-resblock
+    GroupNorms (models.py:410-415) normalize over the full utterance, so
+    causal convs alone would not make frame t independent of the future —
+    and the encode side runs offline in the TTS pipeline anyway. The causal
+    (streaming) option lives in :class:`HiFiGANGenerator`."""
 
     config: HiFiCodecConfig
     norm: str = "weight_norm"
@@ -283,10 +311,18 @@ class HiFiGANEncoder(nn.Module):
 
 class HiFiGANGenerator(nn.Module):
     """HiFi-GAN generator (reference models.py:128-189).
-    ``[B, frames, 512]`` -> ``[B, T, 1]``."""
+    ``[B, frames, 512]`` -> ``[B, T, 1]``.
+
+    ``causal=True`` builds the beyond-reference causal variant: every conv
+    left-padded (SConv1d) and every upsample convT right-trimmed
+    (SConvTranspose1d, trim_right_ratio=1), which makes tokens -> wav
+    chunk-streamable with carried caches (``streaming=True``) — the serving
+    mode TTS consumers (VALL-E/SoundStorm) need for incremental synthesis.
+    """
 
     config: HiFiCodecConfig
     norm: str = "weight_norm"
+    causal: bool = False
     packed_conv: bool = False
     packed_entry: int = -1  # upsample stage to enter packed layout (-1 = auto)
     packed_p0: int = 1  # initial packing factor applied at entry
@@ -294,15 +330,16 @@ class HiFiGANGenerator(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
         h = self.config
+        assert not streaming or self.causal, "streaming requires causal=True"
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         # lanes-packing entry: the earliest upsample stage from which the
         # remaining packing factor stays small and channels are narrow
         # (same policy as SEANetDecoder.packed_tail; ops/packed.py).
         entry = None
-        if self.packed_conv:
+        if self.packed_conv and not streaming:
             import numpy as _np
 
             if self.packed_entry >= 0:
@@ -314,34 +351,64 @@ class HiFiGANGenerator(nn.Module):
                     if rem <= 16 and cout <= 64:
                         entry = _i
                         break
-        x = Conv1d(
-            in_channels=h.latent_dim,
-            out_channels=h.upsample_initial_channel,
-            kernel_size=7,
-            padding=(3, 3),
-            norm=self.norm,
-            dtype=self.dtype,
-            precision=self.precision,
-            name="conv_pre",
-        )(x)
+        if self.causal:
+            x = SConv1d(
+                in_channels=h.latent_dim,
+                out_channels=h.upsample_initial_channel,
+                kernel_size=7,
+                causal=True,
+                pad_mode="zero",
+                norm=self.norm,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="conv_pre",
+            )(x, streaming=streaming)
+        else:
+            x = Conv1d(
+                in_channels=h.latent_dim,
+                out_channels=h.upsample_initial_channel,
+                kernel_size=7,
+                padding=(3, 3),
+                norm=self.norm,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="conv_pre",
+            )(x)
         ch = h.upsample_initial_channel
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
             if i == entry:
                 x = packed_ops.pack_t(x, self.packed_p0)
             x = _lrelu(x)
-            x = ConvTranspose1d(
-                in_channels=h.upsample_initial_channel // (2**i),
-                out_channels=h.upsample_initial_channel // (2 ** (i + 1)),
-                kernel_size=k,
-                stride=u,
-                padding=((k - u) // 2,) * 2,
-                norm=self.norm,
-                kernel_init=hifigan_normal_init,
-                dtype=self.dtype,
-                precision=self.precision,
-                name=f"ups_{i}",
-            )(x)
-            ch = h.upsample_initial_channel // (2 ** (i + 1))
+            cin = h.upsample_initial_channel // (2**i)
+            cout = h.upsample_initial_channel // (2 ** (i + 1))
+            if self.causal:
+                x = SConvTranspose1d(
+                    in_channels=cin,
+                    out_channels=cout,
+                    kernel_size=k,
+                    stride=u,
+                    causal=True,
+                    trim_right_ratio=1.0,
+                    norm=self.norm,
+                    kernel_init=hifigan_normal_init,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"ups_{i}",
+                )(x, streaming=streaming)
+            else:
+                x = ConvTranspose1d(
+                    in_channels=cin,
+                    out_channels=cout,
+                    kernel_size=k,
+                    stride=u,
+                    padding=((k - u) // 2,) * 2,
+                    norm=self.norm,
+                    kernel_init=hifigan_normal_init,
+                    dtype=self.dtype,
+                    precision=self.precision,
+                    name=f"ups_{i}",
+                )(x)
+            ch = cout
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
@@ -351,24 +418,39 @@ class HiFiGANGenerator(nn.Module):
                     kernel_size=rk,
                     dilation=tuple(rd),
                     norm=self.norm,
+                    causal=self.causal,
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"resblocks_{i * num_kernels + j}",
-                )(x)
+                )(x, streaming=streaming)
                 xs = r if xs is None else xs + r
             x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
         x = _lrelu(x)
-        x = Conv1d(
-            in_channels=ch,
-            out_channels=1,
-            kernel_size=7,
-            padding=(3, 3),
-            norm=self.norm,
-            kernel_init=hifigan_normal_init,
-            dtype=self.dtype,
-            precision=self.precision,
-            name="conv_post",
-        )(x)
+        if self.causal:
+            x = SConv1d(
+                in_channels=ch,
+                out_channels=1,
+                kernel_size=7,
+                causal=True,
+                pad_mode="zero",
+                norm=self.norm,
+                kernel_init=hifigan_normal_init,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="conv_post",
+            )(x, streaming=streaming)
+        else:
+            x = Conv1d(
+                in_channels=ch,
+                out_channels=1,
+                kernel_size=7,
+                padding=(3, 3),
+                norm=self.norm,
+                kernel_init=hifigan_normal_init,
+                dtype=self.dtype,
+                precision=self.precision,
+                name="conv_post",
+            )(x)
         x = packed_ops.maybe_map(jnp.tanh, x)
         if isinstance(x, packed_ops.Packed):
             x = packed_ops.unpack_t(x)

@@ -90,3 +90,41 @@ class StreamingDecoder:
         else:
             wav, self.cache = self._step_warm(self.weights, self.cache, codes)
         return wav
+
+
+class StreamingVQVAEDecoder:
+    """Chunked HiFi-Codec decode for causal configs (``HiFiCodecConfig
+    (causal=True)``): feed ``[B, frames, 4]`` acoustic-token chunks, get
+    ``[B, frames*hop]`` waveform — the incremental-synthesis serving mode
+    for VALL-E/SoundStorm-style token generators (beyond the reference,
+    which has no streaming runtime at all)."""
+
+    def __init__(self, model, variables: Any):
+        from academicodec_tpu.models.hificodec import VQVAE
+
+        assert model.config.causal, "streaming decode requires a causal config"
+        self.model = model
+        self.weights = {k: v for k, v in variables.items() if k != "cache"}
+        self.cache = None
+
+        def step(weights, cache, codes):
+            vs = dict(weights)
+            if cache is not None:
+                vs["cache"] = cache
+            wav, mutated = model.apply(
+                vs, codes, method=VQVAE.decode_stream, mutable=["cache"]
+            )
+            return wav, mutated["cache"]
+
+        self._step_cold = jax.jit(lambda w, c: step(w, None, c))
+        self._step_warm = jax.jit(lambda w, cache, c: step(w, cache, c))
+
+    def reset(self):
+        self.cache = None
+
+    def process(self, codes: jnp.ndarray) -> jnp.ndarray:
+        if self.cache is None:
+            wav, self.cache = self._step_cold(self.weights, codes)
+        else:
+            wav, self.cache = self._step_warm(self.weights, self.cache, codes)
+        return wav

@@ -84,7 +84,19 @@ def main() -> None:
     sharded = shard_batch(local, mesh)
     assert sharded.shape == (global_bs, 3200), sharded.shape
 
-    state, metrics = trainer.train_step(state, sharded)
+    # The first collective's Gloo rendezvous has a hard ~30 s KV timeout, and
+    # XLA compile times for the step easily skew across the two workers by
+    # more than that (cold cache, suite CPU contention). So: AOT-compile the
+    # step WITHOUT executing it, rendezvous on the coordination-service
+    # barrier (gRPC, explicit timeout — no Gloo), and only then execute: both
+    # processes hit the Gloo rendezvous within milliseconds of each other.
+    # (unbound form: .lower bypasses the bound-method descriptor, so the
+    # static self argument is passed explicitly)
+    compiled = type(trainer).train_step.lower(trainer, state, sharded).compile()
+    from jax._src import distributed as _jdist
+
+    _jdist.global_state.client.wait_at_barrier("step_compiled", timeout_in_ms=1_200_000)
+    state, metrics = compiled(state, sharded)
     loss = float(np.asarray(metrics["loss_g"]))
     assert np.isfinite(loss), metrics
     # all hosts must agree on the global loss (one global batch, psum'd stats)
