@@ -155,8 +155,10 @@ class SEANetEncoder(nn.Module):
             if j_max:
                 # deferred-halo mode (ops/packed.py Packed): the halo must
                 # survive the head's downsampling (total stride <= 16), so
-                # it is larger than the decoder's
-                x = packed_ops.pack_t(x, p0, halo=1024)
+                # it is larger than the decoder's; zero-pad models skip the
+                # strips (their packed fast path is exact without them)
+                halo = 0 if self.pad_mode in ("zero", "constant") else 1024
+                x = packed_ops.pack_t(x, p0, halo=halo)
         common = dict(
             norm=self.norm,
             causal=self.causal,
@@ -325,8 +327,11 @@ class SEANetDecoder(nn.Module):
         for stage, ratio in enumerate(self.ratios):
             if stage == entry:
                 # deferred-halo mode: reflect-edge corrections ride tiny
-                # strips and splice once at the end (ops/packed.py Packed)
-                x = packed_ops.pack_t(x, 1, halo=256)
+                # strips and splice once at the end (ops/packed.py Packed);
+                # zero-pad models skip the strips — their packed fast path
+                # is already exact with no corrections at all
+                halo = 0 if self.pad_mode in ("zero", "constant") else 256
+                x = packed_ops.pack_t(x, 1, halo=halo)
             idx += 1  # activation slot
             x = packed_ops.maybe_map(act, x)
             x = SConvTranspose1d(

@@ -225,13 +225,26 @@ class Packed:
         assert self.p == other.p and self.length == other.length
         if self.deferred or other.deferred:
             assert self.deferred and other.deferred
+            xa, xb = self.x, other.x
+            if xa.shape[1] != xb.shape[1]:
+                # one branch went through the erosion fallback, which repacks
+                # tightly (rows = ceil(T/p)); pad the shorter with junk rows
+                # (positions >= length, excluded by the final splice)
+                rows = max(xa.shape[1], xb.shape[1])
+                xa = jnp.pad(xa, ((0, 0), (0, rows - xa.shape[1]), (0, 0)))
+                xb = jnp.pad(xb, ((0, 0), (0, rows - xb.shape[1]), (0, 0)))
             vh = min(self.head.shape[1], other.head.shape[1])
             vt = min(self.tail.shape[1], other.tail.shape[1])
+            hb, tb = max(self.hb, other.hb), max(self.tb, other.tb)
+            assert hb <= vh and tb <= vt, (
+                "residual add truncated the halo strips below the corrupt "
+                "region", hb, vh, tb, vt,
+            )
             return Packed(
-                self.x + other.x, self.p, self.length,
+                xa + xb, self.p, self.length,
                 head=self.head[:, :vh] + other.head[:, :vh],
                 tail=self.tail[:, -vt:] + other.tail[:, -vt:],
-                hb=max(self.hb, other.hb), tb=max(self.tb, other.tb),
+                hb=hb, tb=tb,
             )
         return Packed(self.x + other.x, self.p, self.length)
 
@@ -275,11 +288,6 @@ def unpack_t(t: Packed) -> jnp.ndarray:
     return y
 
 
-def _rematerialize(t: Packed, halo: int) -> Packed:
-    """Splice strips into the stream and re-enter deferred mode with fresh
-    full-strength strips (used when erosion left the strips too short —
-    only reachable on tiny inputs, where this concat is cheap)."""
-    return pack_t(unpack_t(t), t.p, halo=halo)
 
 
 def sconv1d_packed(

@@ -1,8 +1,10 @@
 """HiFi-GAN generator lanes-packing entry-policy sweep (decode hot path).
 
 Variants: plain; entry=2/p0=1 (stage-2 resblocks p=4, stage-3 p=8 — the auto
-policy); entry=3/p0=2 (stage-3 only at p=4, stage 2 plain); entry=3/p0=1
-(stage-3 at p=2). Decode wall time per 8x10 s batch, bf16.
+policy); entry=3/p0=2 (stage-3 only at p=4, stage 2 plain); entry=3/p0=4
+(stage-3 at p=8); entry=2/p0=2 (stage-2 p=8, stage-3 p=16). Generator wall
+time per 8x10 s batch, bf16. Measured (round 2): plain 62.3 ms, entry2_p1
+40.5, entry3_p2 39.9, entry3_p4 41.6, entry2_p2 55.7 — auto kept.
 
 Usage: PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/hifigen_entry_probe.py
 """

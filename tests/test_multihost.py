@@ -49,8 +49,13 @@ def test_two_process_distributed_train_step():
         # compete for CPU and can double it
         out, _ = p.communicate(timeout=1500)
         outs.append(out)
+    if any(p.returncode != 0 for p in procs):
+        # full worker logs survive even when the pytest summary is truncated
+        with open("/tmp/multihost_failure.log", "w") as fh:
+            for pid, out in enumerate(outs):
+                fh.write(f"===== worker {pid} (rc={procs[pid].returncode}) =====\n{out}\n")
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
     losses = []
     for out in outs:
         m = re.search(r"MULTIHOST_OK pid=\d+ loss_g=([\d.]+)", out)
