@@ -26,8 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_distributed_train_step():
+def _run_workers():
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(WORKER)))
@@ -49,11 +48,24 @@ def test_two_process_distributed_train_step():
         # compete for CPU and can double it
         out, _ = p.communicate(timeout=1500)
         outs.append(out)
+    return procs, outs
+
+
+@pytest.mark.slow
+def test_two_process_distributed_train_step():
+    procs, outs = _run_workers()
     if any(p.returncode != 0 for p in procs):
         # full worker logs survive even when the pytest summary is truncated
         with open("/tmp/multihost_failure.log", "w") as fh:
             for pid, out in enumerate(outs):
                 fh.write(f"===== worker {pid} (rc={procs[pid].returncode}) =====\n{out}\n")
+        if any("DEADLINE_EXCEEDED" in out for out in outs):
+            # Gloo's first-collective rendezvous has a hard ~30 s key-value
+            # timeout; the worker minimizes the window (AOT compile + gRPC
+            # barrier before the first execution), but a maximally-loaded
+            # host can still blow it between barrier-release and the Gloo
+            # context init. Environmental, not a product defect: retry once.
+            procs, outs = _run_workers()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
     losses = []
