@@ -44,6 +44,7 @@ def bench_serving(results):
     model = SoundStream(
         n_filters=32, dimension=512, ratios=(6, 5, 4, 2), sample_rate=24000,
         target_bandwidths=(1, 2, 4, 8, 12), dtype=jnp.bfloat16,
+        packed_conv=True,  # the headline serving config (bench.py)
     )
     variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": rng, "rvq": rng}, jnp.zeros((1, 24000), jnp.bfloat16),
@@ -137,7 +138,7 @@ def bench_hificodec(results):
     from academicodec_tpu.nn.hifigan import HiFiCodecConfig
 
     rng = jax.random.PRNGKey(0)
-    model = VQVAE(config=HiFiCodecConfig(), dtype=jnp.bfloat16)
+    model = VQVAE(config=HiFiCodecConfig(), dtype=jnp.bfloat16, packed_conv=True)
     wav = (jax.random.normal(rng, (8, 240000)) * 0.1).astype(jnp.bfloat16)
     variables = jax.jit(model.init)({"params": rng}, wav[:1, :24000])
     encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
