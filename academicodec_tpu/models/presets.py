@@ -74,5 +74,10 @@ def build(name: str, dtype: Any = jnp.float32, **overrides):
     if name in HIFICODEC_PRESETS:
         kw = dict(HIFICODEC_PRESETS[name])
         kw.update(overrides)
-        return VQVAE(config=HiFiCodecConfig(**kw), dtype=dtype)
+        # module-level knobs ride the same overrides dict (config carries
+        # the architecture, incl. `causal`)
+        module_kw = {
+            k: kw.pop(k) for k in ("packed_conv", "norm", "precision") if k in kw
+        }
+        return VQVAE(config=HiFiCodecConfig(**kw), dtype=dtype, **module_kw)
     raise KeyError(f"unknown preset {name!r}; available: {names()}")

@@ -1,17 +1,18 @@
 """Training validation: real GAN steps must improve perceptual metrics.
 
-Trains the full-size Encodec_24k_240d configuration from scratch on a
-synthetic speech-like corpus (on the default backend — the real TPU chip
-under the driver) and tracks reconstruction metrics (SI-SNR, multi-scale
-mel-L1, native STOI) on a fixed held-out batch every ``--eval_every``
-steps. This is the round-2 answer to the "30-step loss-decrease smoke"
-validation debt: the reference's acceptance test is PESQ/STOI improving
-over training (readme.md:33), which this reproduces end to end without
-external data or packages.
+Trains a full-size configuration from scratch on a synthetic speech-like
+corpus (on the default backend — the real TPU chip under the driver) and
+tracks reconstruction metrics (SI-SNR, multi-scale mel-L1, native STOI) on
+a fixed held-out batch every ``--eval_every`` steps. This is the round-2
+answer to the "30-step loss-decrease smoke" validation debt: the
+reference's acceptance test is PESQ/STOI improving over training
+(readme.md:33), which this reproduces end to end without external data or
+packages. ``--family encodec`` trains Encodec_24k_240d;
+``--family hificodec`` trains HiFi-Codec-24k-320d (LS-GAN, GRVQ).
 
 Usage:
     PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/train_validation.py \
-        --steps 500 --eval_every 100
+        --steps 500 --eval_every 100 [--family hificodec]
 
 Prints one JSON line per eval point and a final summary line.
 """
@@ -27,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from academicodec_tpu.eval.metrics import mel_distance, si_snr, stoi_score
-from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
 
 
 def speechlike_batch(rng: np.random.Generator, batch: int, n: int, sr: int) -> np.ndarray:
@@ -54,6 +54,7 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seconds", type=float, default=1.0)
     p.add_argument("--disc_start", type=int, default=100)
+    p.add_argument("--family", choices=("encodec", "hificodec"), default="encodec")
     args = p.parse_args()
 
     try:
@@ -64,13 +65,41 @@ def main():
 
     sr = 24000
     seg = int(args.seconds * sr)
-    cfg = EncodecTrainConfig(
-        sr=sr,
-        ratios=(6, 5, 4, 2),
-        target_bandwidths=(1, 2, 4, 8, 12),
-        discriminator_iter_start=args.disc_start,
-    )
-    trainer = EncodecTrainer(cfg)
+    if args.family == "encodec":
+        from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
+
+        cfg = EncodecTrainConfig(
+            sr=sr,
+            ratios=(6, 5, 4, 2),
+            target_bandwidths=(1, 2, 4, 8, 12),
+            discriminator_iter_start=args.disc_start,
+        )
+        trainer = EncodecTrainer(cfg)
+        loss_key = "loss_g"
+
+        @jax.jit
+        def reconstruct(g_params, g_extra, x):
+            g_x, _, _ = trainer.model.apply(
+                {"params": g_params, **g_extra}, x, n_q=trainer.model.n_q, training=False
+            )
+            return g_x
+
+    else:
+        from academicodec_tpu.train.hificodec import (
+            HiFiCodecTrainConfig,
+            HiFiCodecTrainer,
+        )
+
+        seg = (seg // 320) * 320  # whole GRVQ frames (hop 320)
+        trainer = HiFiCodecTrainer(HiFiCodecTrainConfig())
+        loss_key = "loss_gen_all"
+
+        @jax.jit
+        def reconstruct(g_params, g_extra, x):
+            g_x, _, _ = trainer.model.apply(
+                {"params": g_params, **g_extra}, x, training=False
+            )
+            return g_x
 
     rng = np.random.default_rng(0)
     state = trainer.init_state(
@@ -79,13 +108,6 @@ def main():
 
     held_out = speechlike_batch(np.random.default_rng(12345), args.batch, seg, sr)
     held_out_dev = jnp.asarray(held_out)
-
-    @jax.jit
-    def reconstruct(g_params, g_extra, x):
-        g_x, _, _ = trainer.model.apply(
-            {"params": g_params, **g_extra}, x, n_q=trainer.model.n_q, training=False
-        )
-        return g_x
 
     def eval_metrics(state):
         rec = np.asarray(reconstruct(state.g_params, state.g_extra, held_out_dev))
@@ -115,10 +137,10 @@ def main():
         batch = jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
         state, metrics = trainer.train_step(state, batch)
         if step == 1:
-            np.asarray(metrics["loss_g"])  # force compile + first dispatch
+            np.asarray(metrics[loss_key])  # force compile + first dispatch
             t_step = time.perf_counter()
         if step % args.eval_every == 0:
-            loss_g = float(np.asarray(metrics["loss_g"]))
+            loss_g = float(np.asarray(metrics[loss_key]))
             row = eval_metrics(state)
             row.update(step=step, loss_g=round(loss_g, 2))
             history.append(row)
@@ -129,7 +151,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_validation_si_snr_delta",
+                "metric": f"train_validation_si_snr_delta_{args.family}",
                 "value": round(last["si_snr"] - first["si_snr"], 3),
                 "unit": "dB",
                 "si_snr_final": last["si_snr"],
