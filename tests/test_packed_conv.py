@@ -129,6 +129,7 @@ from academicodec_tpu.ops.packed import (
         (4, 2, 1, 32, 64, 2400, 8, (1, 2), "reflect"),   # encoder downsample
         (8, 4, 1, 64, 128, 2400, 4, (3, 4), "reflect"),  # deeper downsample
         (7, 1, 1, 1, 32, 2400, 16, (6, 0), "zero"),      # causal stem, zero pad
+        (7, 1, 1, 8, 8, 2400, 8, (6, 0), "reflect"),     # causal, reflect pad
         (3, 1, 1, 8, 8, 24, 8, (1, 1), "reflect"),       # tiny: fallback path
     ],
 )
