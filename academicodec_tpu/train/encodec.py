@@ -139,6 +139,22 @@ class EncodecTrainer:
 
     # ------------------------------------------------------------------
     def init_state(self, rng: jax.Array, example_batch: jnp.ndarray) -> GANTrainState:
+        """Build the initial train state.
+
+        Jitted on non-CPU backends: eager flax init dispatches (and, on
+        remote backends like the axon relay, COMPILES) every op as its own
+        executable — pathologically slow there. On CPU the one-op-at-a-time
+        eager init is faster than compiling the monolithic init program.
+        """
+        if jax.default_backend() == "cpu":
+            return self._init_state_impl(rng, jnp.asarray(example_batch))
+        return self._init_state_jit(rng, jnp.asarray(example_batch))
+
+    @partial(jax.jit, static_argnums=0)
+    def _init_state_jit(self, rng, example_batch):
+        return self._init_state_impl(rng, example_batch)
+
+    def _init_state_impl(self, rng: jax.Array, example_batch: jnp.ndarray) -> GANTrainState:
         rg, rd, rq, rs = jax.random.split(rng, 4)
         g_vars = self.model.init(
             {"params": rg, "rvq": rq}, example_batch, n_q=self.model.n_q, training=False

@@ -98,6 +98,22 @@ class HiFiCodecTrainer:
         )
 
     def init_state(self, rng: jax.Array, example_batch: jnp.ndarray) -> GANTrainState:
+        """Build the initial train state.
+
+        Jitted on non-CPU backends: eager flax init dispatches (and, on
+        remote backends like the axon relay, COMPILES) every op as its own
+        executable — pathologically slow there. On CPU the one-op-at-a-time
+        eager init is faster than compiling the monolithic init program.
+        """
+        if jax.default_backend() == "cpu":
+            return self._init_state_impl(rng, jnp.asarray(example_batch))
+        return self._init_state_jit(rng, jnp.asarray(example_batch))
+
+    @partial(jax.jit, static_argnums=0)
+    def _init_state_jit(self, rng, example_batch):
+        return self._init_state_impl(rng, example_batch)
+
+    def _init_state_impl(self, rng: jax.Array, example_batch: jnp.ndarray) -> GANTrainState:
         rg, rd, rs = jax.random.split(rng, 3)
         g_vars = self.model.init({"params": rg}, example_batch, training=False)
         d_vars = self.discs.init({"params": rd}, example_batch)

@@ -102,7 +102,7 @@ def main():
             return g_x
 
     rng = np.random.default_rng(0)
-    state = trainer.init_state(
+    state = trainer.init_state(  # jits itself on non-CPU backends
         jax.random.PRNGKey(0), jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
     )
 
