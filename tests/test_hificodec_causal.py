@@ -107,3 +107,18 @@ def test_non_causal_unchanged():
     assert "kernel_v" in gen["ups_0"] and "convtr" not in gen["ups_0"]
     assert "kernel_v" in gen["resblocks_0"]["convs1_0"]
     assert "conv" not in gen["resblocks_0"]["convs1_0"]
+
+
+def test_causal_fold_weight_norm(causal_vqvae):
+    """fold_vqvae handles the causal tree (SConv nesting: conv/convtr
+    submodules) — identical tokens, float-noise decode deltas."""
+    from academicodec_tpu.utils.fold import fold_vqvae
+
+    model, variables, wav = causal_vqvae
+    toks = model.apply(variables, wav, method=VQVAE.encode)
+    full = model.apply(variables, toks, method=VQVAE.decode)
+    fm, fv = fold_vqvae(model, variables)
+    toks2 = fm.apply(fv, wav, method=VQVAE.encode)
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+    full2 = fm.apply(fv, toks, method=VQVAE.decode)
+    np.testing.assert_allclose(np.asarray(full2), np.asarray(full), atol=1e-5)
