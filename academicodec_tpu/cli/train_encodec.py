@@ -67,6 +67,9 @@ def get_args():
     p.add_argument("--path", type=str, default="model_path")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--soundstream", action="store_true", help="SoundStream recipe flavor")
+    p.add_argument("--packed_conv", action="store_true",
+                   help="lanes-packed generator convs in the train step "
+                        "(exact; measured ~1.06x on-chip — see BENCHMARKS.md)")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize")
     p.add_argument("--native_loader", action="store_true",
@@ -106,6 +109,7 @@ def main():
         lambda_rec=args.lambda_rec,
         lambda_com=args.lambda_com,
         discriminator_iter_start=args.discriminator_iter_start,
+        packed_conv=args.packed_conv,
         lr=args.lr,
         **flavor,
         **tiny,

@@ -77,6 +77,9 @@ class EncodecTrainConfig:
     stft_n_ffts: Tuple[int, ...] = (1024, 2048, 512, 256, 128)
     mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     msd_scales: int = 3
+    # lanes-packed generator convs in the train step (fwd AND bwd run the
+    # block-Toeplitz lowering; exact, so tokens/EMA stats are unchanged)
+    packed_conv: bool = False
 
 
 class _Discriminators(nn.Module):
@@ -127,6 +130,7 @@ class EncodecTrainer:
             sample_rate=config.sr,
             target_bandwidths=config.target_bandwidths,
             bins=config.bins,
+            packed_conv=config.packed_conv,
         )
         self.discs = _Discriminators(
             stft_filters=config.stft_filters,
