@@ -272,3 +272,47 @@ def test_deferred_halo_tiny_input_remat():
     for _ in range(4):
         t = sconv1d_packed(t, W7, None, pad_left=3, pad_right=3)
     np.testing.assert_allclose(np.asarray(unpack_t(t)), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
+def test_deferred_halo_fuzz():
+    """Seeded fuzz over conv geometry: deferred-halo packed == plain for
+    random (K, stride, dilation, pads, mode, T) combinations — the guard on
+    the corrupt-region/erosion bookkeeping in ops/packed.py."""
+    rng = np.random.default_rng(42)
+    for trial in range(24):
+        K = int(rng.integers(1, 9))
+        s = int(rng.choice([1, 1, 2, 4]))
+        d = int(rng.choice([1, 1, 2, 3])) if s == 1 else 1
+        span = (K - 1) * d
+        p = int(rng.choice([2, 4, 8]))
+        if p % s:
+            p *= s
+        C = int(rng.choice([4, 8]))
+        T = int(rng.integers(200, 400)) * p + int(rng.integers(0, p))
+        pl = int(rng.integers(0, span + 2))
+        pr = int(rng.integers(0, span + 2))
+        if T + pl + pr <= span:
+            continue
+        mode = str(rng.choice(["reflect", "zero"]))
+        halo = int(rng.choice([16, 64, 200]))
+        key = jax.random.PRNGKey(trial)
+        x = jax.random.normal(key, (2, T, C), jnp.float32) * 0.5
+        W = jax.random.normal(key, (K, C, C), jnp.float32) * 0.2
+        b = jax.random.normal(key, (C,), jnp.float32)
+        ref = conv1d(
+            pad_ops.pad1d(x, (pl, pr), mode=mode), W, b, stride=s, dilation=d
+        )
+        out_T = (T + pl + pr - span - 1) // s + 1
+        ref = ref[:, :out_T]
+        t = pack_t(x, p, halo=halo)
+        got = unpack_t(
+            sconv1d_packed(
+                t, W, b, stride=s, dilation=d, pad_left=pl, pad_right=pr,
+                pad_mode=mode,
+            )
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=2e-4,
+            err_msg=f"trial {trial}: K={K} s={s} d={d} p={p} T={T} "
+                    f"pads=({pl},{pr}) mode={mode} halo={halo}",
+        )
