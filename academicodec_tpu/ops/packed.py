@@ -179,8 +179,15 @@ def packed_conv_transpose1d(
 #
 # The packed main conv zero-extends the signal; SEANet convs reflect-pad.
 # Only outputs whose window crosses a boundary differ — a handful of rows.
-# These helpers recompute the boundary rows with plain ops on tiny unpacked
-# slices and splice them in, so packed == unpacked EXACTLY, end to end.
+# Three exactness strategies, fastest applicable first:
+#   * zero-pad convs: zero-extension IS zero padding — no correction at all;
+#   * deferred-halo (``pack_t(halo=...)``, the model-chain default for
+#     reflect): tiny unpacked strips carry true edge semantics through the
+#     whole chain and are spliced once at final unpack (see ``Packed``);
+#   * immediate splice (strips absent): recompute boundary rows unpacked
+#     and splice per conv — two full-tensor copies per conv, kept for
+#     direct/standalone calls.
+# All three: packed == unpacked EXACTLY (up to float reduction order).
 # ---------------------------------------------------------------------------
 
 import dataclasses
