@@ -282,6 +282,7 @@ def pack_t(x: jnp.ndarray, p: int, halo: int = 0) -> Packed:
 def unpack_t(t: Packed) -> jnp.ndarray:
     y = unpack(t.x, t.p, length=t.length)
     if t.deferred and (t.hb or t.tb):
+        assert t.hb + t.tb <= t.length, (t.hb, t.tb, t.length)
         assert t.hb <= t.head.shape[1] and t.tb <= t.tail.shape[1], (
             t.hb, t.head.shape, t.tb, t.tail.shape,
         )
@@ -333,7 +334,11 @@ def sconv1d_packed(
         vh_out = (vh + pad_left - span - 1) // stride + 1
         t1 = -(-(T - vt + pad_left) // stride)  # first output inside tail strip
         vt_out = out_T - t1
-        if vh_out < max(1, hb_out) or vt_out < max(1, tb_out):
+        if (
+            vh_out < max(1, hb_out)
+            or vt_out < max(1, tb_out)
+            or hb_out + tb_out >= out_T  # corrupt regions would overlap
+        ):
             # strips eroded below the corrupt region (tiny inputs only):
             # splice now, compute exactly unpacked, re-enter with full strips
             xs = _pad_ops.pad1d(unpack_t(t), (pad_left, pad_right), mode=pad_mode)
@@ -463,6 +468,7 @@ def sconvtranspose1d_packed(
             or K < stride
             or vh_out < max(1, hb_out)
             or vt_out < max(1, tb_out)
+            or hb_out + tb_out >= out_T  # corrupt regions would overlap
         ):
             # odd crops / eroded strips: splice, run exact unpacked, re-enter
             y = _plain_convt(

@@ -207,12 +207,33 @@ def test_train_state_checkpoint_roundtrip(tiny_trainer, tmp_path):
     assert np.isfinite(float(metrics["loss_g"]))
 
 
-def test_sharded_step_matches_unsharded(tiny_trainer):
+def test_sharded_step_matches_unsharded():
     """The flagship distributed-correctness claim: one data-parallel step
     over 8 devices produces the SAME parameter/EMA-codebook updates as the
     unsharded step on the identical global batch (GSPMD global-batch
-    statistics — the reference's per-rank EMA drifts instead, SURVEY §2.8)."""
-    trainer = tiny_trainer
+    statistics — the reference's per-rank EMA drifts instead, SURVEY §2.8).
+
+    Runs in a FRESH subprocess: compiling this graph late in a long pytest
+    process segfaults inside XLA:CPU (state-dependent upstream compiler
+    crash — reproduced with warm AND cold compilation caches, at default
+    and reduced stack sizes; the identical test passes in any fresh
+    process). Subprocess isolation gives it the fresh-process condition
+    deterministically."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ACT_SHARDED_EQ_INNER") != "1":
+        env = {**os.environ, "ACT_SHARDED_EQ_INNER": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             __file__ + "::test_sharded_step_matches_unsharded"],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1500:])
+        return
+
+    trainer = EncodecTrainer(_tiny_encodec_cfg())
     mesh = make_mesh()
     rng = jax.random.PRNGKey(7)
     x = jax.random.normal(rng, (8, 3200)) * 0.1
