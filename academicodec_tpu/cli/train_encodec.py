@@ -28,6 +28,7 @@ from academicodec_tpu.parallel import make_mesh, replicate, shard_batch
 from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
 from academicodec_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_checkpoint_meta,
     save_checkpoint,
     scan_checkpoint,
 )
@@ -142,8 +143,20 @@ def main():
         latest = scan_checkpoint(args.path, "latest")
         if latest:
             state = load_checkpoint(latest, template=state)
-            start_epoch = int(state.step) // max(1, len(train_ds) // args.batch_size)
-            logger.log_info(f"resumed from {latest} at step {int(state.step)}")
+            # epoch comes from the checkpoint metadata, not step arithmetic
+            # (which breaks when dataset or batch size changed between runs);
+            # pre-meta checkpoints fall back to the old derivation
+            meta = load_checkpoint_meta(latest)
+            start_epoch = int(
+                meta.get(
+                    "epoch",
+                    int(state.step) // max(1, len(train_ds) // args.batch_size),
+                )
+            )
+            logger.log_info(
+                f"resumed from {latest} at step {int(state.step)}, "
+                f"epoch {start_epoch}"
+            )
     state = replicate(state, mesh)
     logger.log_info(
         f"generator params: {param_count(state.g_params):,}; "
@@ -152,21 +165,22 @@ def main():
 
     best_valid = float("inf")
     timer = StepTimer()
-    steps_per_epoch = len(train_ds) // args.batch_size
     for epoch in range(start_epoch, args.n_epochs + 1):
         state = trainer.set_epoch_lr(state, epoch)
+        # one seed + start_epoch keying: both loader backends reproduce this
+        # epoch's exact order on resume (and match each other bit for bit)
         if args.native_loader:
             from academicodec_tpu.data.native_loader import native_batch_iterator
 
             it = native_batch_iterator(
                 train_ds.files, segment, local_bs,
                 sample_rate=args.sr, mixture_prob=train_ds.mixture_prob,
-                seed=args.seed + epoch, epochs=1,
+                seed=args.seed, epochs=1, start_epoch=epoch,
                 process_index=pidx, process_count=pcount,
             )
         else:
             it = batch_iterator(
-                train_ds, local_bs, seed=args.seed + epoch, epochs=1,
+                train_ds, local_bs, seed=args.seed, epochs=1, start_epoch=epoch,
                 process_index=pidx, process_count=pcount,
             )
         t_epoch = time.time()
@@ -189,7 +203,8 @@ def main():
             if args.profile_dir and epoch == start_epoch and i == 20:
                 jax.profiler.stop_trace()
             if int(state.step) % args.checkpoint_interval == 0:
-                save_checkpoint(args.path, "latest", int(state.step), jax.device_get(state))
+                save_checkpoint(args.path, "latest", int(state.step),
+                                jax.device_get(state), meta={"epoch": epoch})
         # validation sweep (reference main_launch.py:365-429)
         vals = []
         for batch in batch_iterator(
@@ -205,9 +220,12 @@ def main():
             # best-checkpoint tracking (reference main_launch.py:430-443)
             if mean["valid_loss_g"] < best_valid:
                 best_valid = mean["valid_loss_g"]
-                save_checkpoint(args.path, "best", int(state.step), jax.device_get(state))
+                save_checkpoint(args.path, "best", int(state.step),
+                                jax.device_get(state), meta={"epoch": epoch + 1})
                 logger.log_info(f"new best valid_loss_g={best_valid:.4f}")
-        save_checkpoint(args.path, "latest", int(state.step), jax.device_get(state))
+        # end-of-epoch: resume continues at the NEXT epoch
+        save_checkpoint(args.path, "latest", int(state.step),
+                        jax.device_get(state), meta={"epoch": epoch + 1})
         logger.log_info(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s")
     logger.close()
 

@@ -27,6 +27,7 @@ from academicodec_tpu.parallel import make_mesh, replicate, shard_batch
 from academicodec_tpu.train.hificodec import HiFiCodecTrainConfig, HiFiCodecTrainer
 from academicodec_tpu.utils.checkpoint import (
     load_checkpoint,
+    load_checkpoint_meta,
     save_checkpoint,
     scan_checkpoint,
 )
@@ -121,11 +122,18 @@ def main():
     latest = scan_checkpoint(args.checkpoint_path, "state")
     if latest:
         state = load_checkpoint(latest, template=state)
-        logger.log_info(f"resumed from {latest} at step {int(state.step)}")
+        # epoch from checkpoint metadata (robust to dataset/batch-size
+        # changes); pre-meta checkpoints fall back to step arithmetic
+        start_epoch = int(
+            load_checkpoint_meta(latest).get(
+                "epoch", int(state.step) // max(1, len(train_ds) // batch_size)
+            )
+        )
+        logger.log_info(
+            f"resumed from {latest} at step {int(state.step)}, epoch {start_epoch}"
+        )
     state = replicate(state, mesh)
 
-    steps_per_epoch = max(1, len(train_ds) // batch_size)
-    start_epoch = int(state.step) // steps_per_epoch
     for epoch in range(start_epoch, args.training_epochs):
         state = trainer.set_epoch_lr(state, epoch)
         t_epoch = time.time()
@@ -135,12 +143,13 @@ def main():
             it = native_batch_iterator(
                 train_ds.files, segment, local_bs,
                 sample_rate=model_cfg.sampling_rate,
-                seed=raw.get("seed", 1234) + epoch, epochs=1,
+                seed=raw.get("seed", 1234), epochs=1, start_epoch=epoch,
                 process_index=pidx, process_count=pcount,
             )
         else:
             it = batch_iterator(
-                train_ds, local_bs, seed=raw.get("seed", 1234) + epoch, epochs=1,
+                train_ds, local_bs, seed=raw.get("seed", 1234), epochs=1,
+                start_epoch=epoch,
                 process_index=pidx, process_count=pcount,
             )
         for batch in it:
@@ -166,7 +175,7 @@ def main():
             if step % args.checkpoint_interval == 0 and step != 0:
                 save_checkpoint(
                     args.checkpoint_path, "state", step, jax.device_get(state),
-                    num_ckpt_keep=args.num_ckpt_keep,
+                    num_ckpt_keep=args.num_ckpt_keep, meta={"epoch": epoch},
                 )
             if step % args.validation_interval == 0 and step != 0:
                 errs = []

@@ -13,6 +13,15 @@ Covered behaviors:
   * p=0.3 two-clip mixture augmentation (soundstream/dataset.py:27-48)
   * corrupt-file fallback to low-level noise (meldataset.py:143-149)
   * filelist OR directory-glob sources (egs/util/wavlstgen.py)
+
+Determinism: every random decision (epoch shuffle, crop offset, mixture
+draws) comes from ``std::mt19937_64``-compatible streams keyed on
+``(seed, epoch, item)`` (``data/mt64.py``) — the same streams the C++
+loader uses (native/wavloader.cpp:174-214) — so batches are independent of
+thread schedule and bit-identical between the Python and native pipelines
+for the same (seed, filelist, shard). The reference's DataLoader-worker
+draws are schedule-dependent; this is the fix the native loader already
+carried, now the default everywhere.
 """
 
 from __future__ import annotations
@@ -20,11 +29,11 @@ from __future__ import annotations
 import concurrent.futures as cf
 import glob
 import os
-import random
 from typing import Iterator, List, Optional
 
 import numpy as np
 
+from academicodec_tpu.data.mt64 import MT19937_64, epoch_order, item_rng
 from academicodec_tpu.data.wavio import read_wav
 
 
@@ -58,34 +67,48 @@ class WavCropDataset:
         self.segment_length = segment_length
         self.sample_rate = sample_rate
         self.mixture_prob = mixture_prob
-        self.rng = random.Random(seed)
+        self.seed = seed
 
     def __len__(self) -> int:
         return len(self.files)
 
-    def _load_crop(self, path: str) -> np.ndarray:
+    def _load_crop(self, path: str, rng: MT19937_64) -> np.ndarray:
         seg = self.segment_length
         try:
             wav, _sr = read_wav(path, sr=self.sample_rate)
         except Exception:
-            # corrupt-file fallback (reference meldataset.py:143-149)
+            # corrupt-file fallback (reference meldataset.py:143-149).
+            # NOTE: not bit-identical to the native loader's fallback (C++
+            # std::normal_distribution); loader equivalence holds for clean
+            # corpora.
             return (np.random.default_rng(0).standard_normal(seg) * 0.05).astype(
                 np.float32
             )
         if wav.shape[-1] > seg:
             # inclusive upper bound: the final valid offset must be reachable
-            # (reference dataset.py:26 uses the full range)
-            st = self.rng.randint(0, wav.shape[-1] - seg)
+            # (reference dataset.py:26 uses the full range). Same draw as
+            # wavloader.cpp:235.
+            st = rng.next() % (wav.shape[-1] - seg + 1)
             return wav[st : st + seg]
         out = np.zeros(seg, np.float32)
         out[: wav.shape[-1]] = wav
         return out
 
-    def sample(self, index: int) -> np.ndarray:
-        x = self._load_crop(self.files[index % len(self.files)])
-        if self.mixture_prob > 0 and self.rng.random() > (1.0 - self.mixture_prob):
-            other = self.rng.randrange(len(self.files))
-            x = x + self._load_crop(self.files[other])
+    def sample(
+        self, index: int, *, epoch: int = 0, item: Optional[int] = None
+    ) -> np.ndarray:
+        """Draw the crop for file ``index``. ``(epoch, item)`` key the RNG
+        stream (``item`` = position within the epoch's sharded order,
+        wavloader.cpp:201-214); standalone callers may omit them — the draw
+        is then keyed on the file index alone."""
+        if item is None:
+            item = index
+        rng = item_rng(self.seed, epoch, item)
+        x = self._load_crop(self.files[index % len(self.files)], rng)
+        if self.mixture_prob > 0:
+            if rng.uniform53() < self.mixture_prob:
+                other = rng.next() % len(self.files)
+                x = x + self._load_crop(self.files[other], rng)
         return x
 
 
@@ -114,7 +137,10 @@ class MelNpyCropDataset(WavCropDataset):
         self.base_mels_path = base_mels_path
         self.frames_per_seg = -(-segment_length // hop_size)  # ceil
 
-    def sample(self, index: int):
+    def sample(self, index: int, *, epoch: int = 0, item: Optional[int] = None):
+        if item is None:
+            item = index
+        rng = item_rng(self.seed, epoch, item)
         path = self.files[index % len(self.files)]
         stem = os.path.splitext(os.path.basename(path))[0]
         mel = np.load(os.path.join(self.base_mels_path, stem + ".npy"))
@@ -130,7 +156,7 @@ class MelNpyCropDataset(WavCropDataset):
         if wav.shape[-1] >= seg and mel.shape[-1] >= fps:
             # mel-frame-aligned crop (meldataset.py:195-201); full range,
             # not the reference's last-offset-unreachable randint
-            mel_start = self.rng.randint(0, mel.shape[-1] - fps)
+            mel_start = rng.next() % (mel.shape[-1] - fps + 1)
             mel = mel[:, mel_start : mel_start + fps]
             wav = wav[mel_start * hop : mel_start * hop + seg]
             out = np.zeros(seg, np.float32)
@@ -176,6 +202,7 @@ def batch_iterator(
     epochs: Optional[int] = None,
     process_index: int = 0,
     process_count: int = 1,
+    start_epoch: int = 0,
 ) -> Iterator[np.ndarray]:
     """Yield ``[batch_size, segment_length]`` float32 batches with threaded
     prefetch. ``epochs=None`` streams forever (set_epoch-style reshuffling
@@ -188,21 +215,41 @@ def batch_iterator(
     (reference DistributedSampler, main_launch.py:220-227) and
     ``parallel.shard_batch`` assembles the local shards into the global
     array.
+
+    Every random decision is keyed on ``(seed, epoch, item)`` with the
+    native loader's mt19937_64 streams: batches are a pure function of the
+    arguments (no thread-schedule dependence) and bit-identical to
+    ``native_batch_iterator`` for the same inputs
+    (tests/test_loader_equivalence.py) — provided ``seed == dataset.seed``
+    (the native loader keys shuffle AND item streams on one seed).
+
+    ``start_epoch`` offsets the epoch key of every stream: a resumed run
+    passes the epoch it restarts at and reproduces the original run's
+    order from there.
     """
-    order_rng = np.random.default_rng(seed)
     n = len(dataset)
-    epoch = 0
+    epoch = start_epoch
     with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
-        while epochs is None or epoch < epochs:
-            idx = np.arange(n)
+        while epochs is None or epoch < start_epoch + epochs:
             if shuffle:
-                order_rng.shuffle(idx)
+                # the native loader's Fisher–Yates order (wavloader.cpp:174)
+                idx = epoch_order(n, seed, epoch)
+            else:
+                idx = np.arange(n)
             idx = shard_indices(idx, process_index, process_count)
             m = len(idx)
             limit = (m // batch_size) * batch_size if drop_last else m
+            e = epoch
+
+            def draw(args, _e=e):
+                item, file_idx = args
+                return dataset.sample(file_idx, epoch=_e, item=item)
+
             for start in range(0, limit, batch_size):
                 chunk = idx[start : start + batch_size]
-                batch = list(pool.map(dataset.sample, chunk.tolist()))
+                batch = list(
+                    pool.map(draw, list(enumerate(chunk.tolist(), start=start)))
+                )
                 if len(batch) < batch_size:
                     continue
                 if isinstance(batch[0], tuple):

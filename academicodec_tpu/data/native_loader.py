@@ -6,9 +6,11 @@ reshuffle, DistributedSampler-style rank sharding, drop_last, mixture
 augmentation, corrupt-file noise fallback — but the read path seeks
 directly to the crop window instead of decoding whole files, and batches
 are assembled off the GIL into a bounded prefetch queue
-(native/wavloader.cpp). The random streams differ from the Python
-pipeline's (both are deterministic per seed); loss curves are equivalent
-in distribution.
+(native/wavloader.cpp). Both pipelines draw from the same
+``(seed, epoch, item)``-keyed mt19937_64 streams (data/mt64.py), so for
+the same seed/filelist/shard the batches are bit-identical
+(tests/test_loader_equivalence.py) — except the corrupt-file noise
+fallback, whose values are backend-specific.
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ class NativeWavLoader:
         process_index: int = 0,
         process_count: int = 1,
         prefetch: int = 4,
+        start_epoch: int = 0,
     ):
         lib = get_wavloader_lib()
         if lib is None:
@@ -70,7 +73,7 @@ class NativeWavLoader:
         self._handle = lib.wavloader_create(
             arr, len(files), segment_length, int(sample_rate), float(mixture_prob),
             batch_size, seed & (2**64 - 1), num_workers, process_index,
-            max(process_count, 1), prefetch,
+            max(process_count, 1), prefetch, start_epoch,
         )
         if not self._handle:
             raise ValueError(
@@ -78,6 +81,15 @@ class NativeWavLoader:
                 "sharding, or bad arguments)"
             )
         self.batches_per_epoch = int(lib.wavloader_batches_per_epoch(self._handle))
+        self._warned_fallbacks = False
+
+    @property
+    def fallbacks(self) -> int:
+        """Noise substitutions served so far (corrupt header, mismatched
+        sample rate, failed read). A healthy corpus keeps this at 0."""
+        if not self._handle:
+            return 0
+        return int(self._lib.wavloader_fallbacks(self._handle))
 
     def next(self) -> np.ndarray:
         """Blocking: returns a fresh ``[batch, segment]`` float32 array
@@ -86,6 +98,18 @@ class NativeWavLoader:
         self._lib.wavloader_next(
             self._handle, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
         )
+        if not self._warned_fallbacks:
+            fb = self.fallbacks
+            if fb:
+                self._warned_fallbacks = True
+                import warnings
+
+                warnings.warn(
+                    f"native wav loader substituted noise for {fb} sample(s) "
+                    "so far (corrupt file, mismatched sample rate, or failed "
+                    "read) — check the corpus; poll .fallbacks for totals",
+                    stacklevel=2,
+                )
         return buf
 
     def close(self):
@@ -112,11 +136,16 @@ def native_batch_iterator(
     epochs: Optional[int] = None,
     process_index: int = 0,
     process_count: int = 1,
+    start_epoch: int = 0,
 ) -> Iterator[np.ndarray]:
+    """``start_epoch`` offsets every RNG stream's epoch key so a resumed
+    run reproduces the original run's epoch order (both loader backends
+    accept it and stay bit-identical)."""
     loader = NativeWavLoader(
         files, segment_length, batch_size, sample_rate=sample_rate,
         mixture_prob=mixture_prob, seed=seed, num_workers=num_workers,
         process_index=process_index, process_count=process_count,
+        start_epoch=start_epoch,
     )
     try:
         total = None if epochs is None else epochs * loader.batches_per_epoch

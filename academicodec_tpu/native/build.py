@@ -94,6 +94,7 @@ def get_wavloader_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_longlong,
                 ctypes.c_uint, ctypes.c_float, ctypes.c_int, ctypes.c_ulonglong,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_longlong,
             ]
             lib.wavloader_next.restype = ctypes.c_longlong
             lib.wavloader_next.argtypes = [
@@ -101,6 +102,8 @@ def get_wavloader_lib() -> Optional[ctypes.CDLL]:
             ]
             lib.wavloader_batches_per_epoch.restype = ctypes.c_longlong
             lib.wavloader_batches_per_epoch.argtypes = [ctypes.c_void_p]
+            lib.wavloader_fallbacks.restype = ctypes.c_longlong
+            lib.wavloader_fallbacks.argtypes = [ctypes.c_void_p]
             lib.wavloader_destroy.restype = None
             lib.wavloader_destroy.argtypes = [ctypes.c_void_p]
             _WAV_LIB = lib

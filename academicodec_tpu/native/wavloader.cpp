@@ -156,6 +156,9 @@ struct Loader {
   uint64_t seed;
   int proc_index, proc_count;
   int depth;
+  // resume support: all RNG streams are keyed on (epoch_base + local epoch)
+  // so a loader built mid-training reproduces the run's epoch order
+  int64_t epoch_base = 0;
 
   // epoch order state (produced lazily by workers)
   std::mutex mu;
@@ -170,11 +173,16 @@ struct Loader {
   int64_t batches_per_epoch = 0;
   bool stop = false;
   std::vector<std::thread> threads;
+  // noise substitutions served so far (corrupt file / wrong rate / short
+  // read) — surfaced via wavloader_fallbacks so a partially bad corpus
+  // cannot silently train on noise
+  std::atomic<long long> fallbacks{0};
 
   void reshuffle(int64_t e) {
     std::vector<uint32_t> idx(files.size());
     for (uint32_t i = 0; i < idx.size(); i++) idx[i] = i;
-    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ull + (uint64_t)e);
+    std::mt19937_64 rng(seed * 0x9E3779B97F4A7C15ull +
+                        (uint64_t)(e + epoch_base));
     for (size_t i = idx.size() - 1; i > 0; i--) {
       size_t j = rng() % (i + 1);
       std::swap(idx[i], idx[j]);
@@ -200,7 +208,7 @@ struct Loader {
   // epoch boundaries while stragglers of the previous epoch still load
   void load_item(int64_t e, int64_t item_in_epoch, uint32_t file_idx,
                  float* dst) {
-    std::mt19937_64 rng = item_rng(seed, e, item_in_epoch);
+    std::mt19937_64 rng = item_rng(seed, e + epoch_base, item_in_epoch);
     load_crop(file_idx, rng, dst);
     if (mixture_prob > 0.0f) {
       double u = (rng() >> 11) * (1.0 / 9007199254740992.0);
@@ -226,6 +234,7 @@ struct Loader {
       (*lengths)[file_idx].store(len, std::memory_order_relaxed);
     }
     if (len <= 0) {  // corrupt: low-level noise (meldataset.py:143-149)
+      fallbacks.fetch_add(1, std::memory_order_relaxed);
       std::mt19937_64 nrng(0);
       std::normal_distribution<float> nd(0.0f, 0.05f);
       for (int64_t i = 0; i < segment; i++) dst[i] = nd(nrng);
@@ -235,6 +244,7 @@ struct Loader {
     if (len > segment) start = (int64_t)(rng() % (uint64_t)(len - segment + 1));
     int64_t got = read_mono(path, start, segment, dst);
     if (got < 0) {
+      fallbacks.fetch_add(1, std::memory_order_relaxed);
       std::mt19937_64 nrng(0);
       std::normal_distribution<float> nd(0.0f, 0.05f);
       for (int64_t i = 0; i < segment; i++) dst[i] = nd(nrng);
@@ -288,7 +298,7 @@ extern "C" {
 void* wavloader_create(const char** paths, int n_files, long long segment,
                        unsigned int expect_rate, float mixture_prob, int batch,
                        unsigned long long seed, int n_threads, int proc_index,
-                       int proc_count, int depth) {
+                       int proc_count, int depth, long long epoch_base) {
   if (n_files <= 0 || batch <= 0 || segment <= 0 || depth <= 0) return nullptr;
   Loader* L = new Loader();
   L->files.reserve(n_files);
@@ -303,6 +313,7 @@ void* wavloader_create(const char** paths, int n_files, long long segment,
   L->proc_index = proc_index;
   L->proc_count = proc_count < 1 ? 1 : proc_count;
   L->depth = depth;
+  L->epoch_base = epoch_base;
   L->bufs.assign(depth, std::vector<float>((size_t)batch * segment));
   L->filled = new std::vector<std::atomic<int>>(depth);
   for (auto& a : *L->filled) a.store(0);
@@ -322,6 +333,12 @@ void* wavloader_create(const char** paths, int n_files, long long segment,
 
 long long wavloader_batches_per_epoch(void* h) {
   return ((Loader*)h)->batches_per_epoch;
+}
+
+// Count of noise substitutions served so far (corrupt header, mismatched
+// sample rate, or failed read). Monotonic; poll after wavloader_next.
+long long wavloader_fallbacks(void* h) {
+  return ((Loader*)h)->fallbacks.load(std::memory_order_relaxed);
 }
 
 // Blocks until the next batch is complete; copies [batch, segment] floats

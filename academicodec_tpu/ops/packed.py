@@ -322,6 +322,19 @@ def sconv1d_packed(
     out_T = (T + pad_left + pad_right - span - 1) // stride + 1
     p_out = p_in // stride
 
+    if out_T > R * p_out:
+        # packed rows cannot hold every output (pad_left+pad_right > span,
+        # reachable only through the public API — no model conv does this):
+        # compute exactly unpacked, mirroring the convT capacity guard
+        xs = _pad_ops.pad1d(unpack_t(t), (pad_left, pad_right), mode=pad_mode)
+        y = _plain_conv1d(
+            xs, kernel, bias, stride=stride, dilation=dilation,
+            precision=precision,
+        )[:, :out_T]
+        if t.deferred:
+            return pack_t(y, p_out, halo=max(t.head.shape[1], t.tail.shape[1]))
+        return Packed(pack(y, p_out), p_out, out_T)
+
     if t.deferred:
         # Deferred-halo mode: main stream runs pure zero-extension (exact
         # for every interior output); true edge semantics live in the strips.

@@ -153,6 +153,10 @@ class HiFiCodecTrainer:
         y_g_det = jax.lax.stop_gradient(y_g_hat)
 
         # ---- discriminator phase first ----
+        # spectral-norm `u` advances once per step, here in the D-real pass;
+        # the D-fake and G passes below reuse it. Torch advances u on every
+        # forward (3+/step) — a known intentional deviation, see
+        # COMPONENTS.md "Known intentional deviations" #6.
         def d_loss_fn(d_params):
             out_real, new_spec = self.discs.apply(
                 {"params": d_params, **state.d_extra}, y, mutable=["spectral"]

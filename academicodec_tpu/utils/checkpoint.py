@@ -10,10 +10,11 @@ for multi-host runs is on ``jax.process_index() == 0``.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import re
 import shutil
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 
@@ -40,18 +41,30 @@ def save_checkpoint(
     step: int,
     state: Any,
     num_ckpt_keep: int = 5,
+    meta: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Save ``state`` under ``directory/<prefix>_<step:08d>`` and rotate."""
+    """Save ``state`` under ``directory/<prefix>_<step:08d>`` and rotate.
+
+    ``meta`` (JSON-serializable) is written to ``<path>.meta.json`` — train
+    CLIs persist the epoch counter there so resume does not have to derive
+    it from step arithmetic (wrong when dataset/batch size changed between
+    runs; reference main_launch.py:250-260 has the same flaw).
+    """
     if jax.process_index() != 0:
         return ""
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"{prefix}_{step:08d}")
     state = jax.device_get(state)
     _checkpointer().save(os.path.abspath(path), state, force=True)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as fh:
+            json.dump(meta, fh)
     # keep-last-N rotation (reference utils.py:205-211)
     ckpts = sorted(glob.glob(os.path.join(directory, f"{prefix}_" + "?" * 8)))
     for old in ckpts[:-num_ckpt_keep]:
         shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(old + ".meta.json"):
+            os.remove(old + ".meta.json")
     return path
 
 
@@ -71,6 +84,16 @@ def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
     if template is not None:
         return _checkpointer().restore(path, item=jax.device_get(template))
     return _checkpointer().restore(path)
+
+
+def load_checkpoint_meta(path: str) -> Dict[str, Any]:
+    """Sidecar metadata written by ``save_checkpoint(meta=...)``; ``{}`` for
+    checkpoints predating it."""
+    try:
+        with open(path + ".meta.json") as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def checkpoint_step(path: str) -> int:

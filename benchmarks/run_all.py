@@ -120,11 +120,17 @@ def bench_loader(results):
         ds = WavCropDataset(d, sr, sample_rate=sr)
 
         def drain(it, n=20):
-            t0 = time.perf_counter()
-            for k, _ in enumerate(it):
-                if k + 1 >= n:
-                    break
-            return (time.perf_counter() - t0) / n
+            # close the generator when done: the native loader's worker
+            # threads keep prefetching until finalization otherwise,
+            # contending CPU with the benches that follow
+            from contextlib import closing
+
+            with closing(it):
+                t0 = time.perf_counter()
+                for k, _ in enumerate(it):
+                    if k + 1 >= n:
+                        break
+                return (time.perf_counter() - t0) / n
 
         results["loader_python_ms_per_batch"] = round(
             drain(batch_iterator(ds, 16, num_workers=8)) * 1000, 2)

@@ -98,9 +98,17 @@ def main() -> None:
     # (unbound form: .lower bypasses the bound-method descriptor, so the
     # static self argument is passed explicitly)
     compiled = type(trainer).train_step.lower(trainer, state, sharded).compile()
-    from jax._src import distributed as _jdist
+    try:
+        # private API (jax._src); guarded so a jax upgrade degrades to a
+        # direct execute (risking only the Gloo-rendezvous flake this
+        # barrier papers over) instead of breaking the test opaquely
+        from jax._src import distributed as _jdist
 
-    _jdist.global_state.client.wait_at_barrier("step_compiled", timeout_in_ms=1_200_000)
+        _jdist.global_state.client.wait_at_barrier(
+            "step_compiled", timeout_in_ms=1_200_000
+        )
+    except Exception as e:  # pragma: no cover - jax-version dependent
+        print(f"barrier unavailable ({e!r}); executing directly", flush=True)
     state, metrics = compiled(state, sharded)
     loss = float(np.asarray(metrics["loss_g"]))
     assert np.isfinite(loss), metrics

@@ -53,3 +53,26 @@ def test_train_encodec_cli_one_epoch(tmp_path, monkeypatch):
     assert glob.glob(os.path.join(out_dir, "latest_*")), "no checkpoint written"
     log = open(os.path.join(out_dir, "logs", "log.txt")).read()
     assert "loss_g" in log and "valid" in log
+
+    # the latest checkpoint carries the epoch in sidecar metadata
+    from academicodec_tpu.utils.checkpoint import (
+        load_checkpoint_meta,
+        scan_checkpoint,
+    )
+
+    latest = scan_checkpoint(out_dir, "latest")
+    assert load_checkpoint_meta(latest) == {"epoch": 1}
+
+    # ---- resume: restart mid-training, continue at the recorded epoch with
+    # the decayed lr and that epoch's data order (VERDICT r2 #8) ----
+    steps_before = int(os.path.basename(latest).split("_")[-1])
+    argv_resume = list(argv)
+    argv_resume[argv_resume.index("--n_epochs") + 1] = "1"
+    monkeypatch.setattr(sys, "argv", argv_resume + ["--resume"])
+    train_encodec.main()
+    log = open(os.path.join(out_dir, "logs", "log.txt")).read()
+    assert ", epoch 1" in log  # resumed at the NEXT epoch, not a replay
+    assert "epoch 1 step" in log  # and actually trained in it
+    latest2 = scan_checkpoint(out_dir, "latest")
+    assert int(os.path.basename(latest2).split("_")[-1]) > steps_before
+    assert load_checkpoint_meta(latest2) == {"epoch": 2}

@@ -106,9 +106,9 @@ def test_batch_iterator_rank_aware(wav_dir):
         sampled = []
         orig = ds.sample
 
-        def spy(i, _s=sampled):
+        def spy(i, _s=sampled, **kw):
             _s.append(i)
-            return orig(i)
+            return orig(i, **kw)
 
         ds.sample = spy
         list(
@@ -126,12 +126,12 @@ def test_batch_iterator_rank_aware(wav_dir):
 
 def test_crop_can_start_at_final_offset():
     """The crop RNG must be able to return the last valid start offset."""
-    import random as pyrandom
+    from academicodec_tpu.data.mt64 import item_rng
 
     ds = WavCropDataset.__new__(WavCropDataset)
     ds.segment_length = 10
     ds.sample_rate = None
-    ds.rng = pyrandom.Random(0)
+    ds.seed = 0
     wav = np.arange(15, dtype=np.float32)
 
     import academicodec_tpu.data.dataset as dmod
@@ -139,7 +139,9 @@ def test_crop_can_start_at_final_offset():
     orig = dmod.read_wav
     dmod.read_wav = lambda path, sr=None: (wav, 24000)
     try:
-        starts = {int(ds._load_crop("x")[0]) for _ in range(200)}
+        starts = {
+            int(ds._load_crop("x", item_rng(0, 0, i))[0]) for i in range(200)
+        }
     finally:
         dmod.read_wav = orig
     assert max(starts) == 5  # len - seg, the final valid offset

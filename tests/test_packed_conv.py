@@ -259,6 +259,25 @@ def test_deferred_halo_chain_exact(T):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("halo", [0, 64])
+def test_oversized_padding_capacity_guard(halo):
+    """pad_left+pad_right > span overflows the packed rows' output capacity
+    (out_T > R*p_out); the guard must route to the exact unpacked fallback
+    in both immediate and deferred modes (ADVICE r2)."""
+    rng = jax.random.PRNGKey(3)
+    T, p, C = 512, 8, 8  # T % p == 0: no junk-slot slack to hide in
+    x = jax.random.normal(rng, (2, T, C), jnp.float32) * 0.5
+    W = jax.random.normal(rng, (3, C, C), jnp.float32) * 0.2
+    pl = pr = 40  # span = 2, out_T = 512 + 80 - 2 = 590 > 512
+    ref = conv1d(pad_ops.pad1d(x, (pl, pr), mode="reflect"), W)
+    t = sconv1d_packed(
+        pack_t(x, p, halo=halo), W, None, pad_left=pl, pad_right=pr
+    )
+    got = unpack_t(t)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+
 def test_deferred_halo_tiny_input_remat():
     """Tiny inputs erode the strips below the corrupt region; the deferred
     ops must fall back to exact unpacked compute (remat path) seamlessly."""
