@@ -38,12 +38,20 @@ def main():
     if not rows:
         raise SystemExit("no overlapping wav files found")
     keys = sorted({k for r in rows for k in r})  # a metric may be absent in row 0
-    mean = {k: float(np.mean([r[k] for r in rows if k in r])) for k in keys}
+    # skipped rows are recorded as NaN (evaluate_pair); average the rest and
+    # disclose how many files each mean excludes
+    mean, skipped = {}, {}
+    for k in keys:
+        vals = np.array([r[k] for r in rows if k in r], dtype=np.float64)
+        mean[k] = float(np.nanmean(vals)) if np.isfinite(vals).any() else float("nan")
+        skipped[k] = int(np.isnan(vals).sum())
     for k, v in mean.items():
-        print(f"{k}: {v:.4f}")
+        note = f"  (skipped {skipped[k]}/{len(rows)} files)" if skipped[k] else ""
+        print(f"{k}: {v:.4f}{note}")
     if args.json_out:
         with open(args.json_out, "w") as fh:
-            json.dump({"mean": mean, "per_file": rows}, fh, indent=2)
+            json.dump({"mean": mean, "skipped": skipped, "per_file": rows}, fh,
+                      indent=2)
 
 
 if __name__ == "__main__":

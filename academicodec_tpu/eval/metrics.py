@@ -1,11 +1,11 @@
 """Objective reconstruction metrics.
 
-Native (always available): SI-SNR, multi-scale mel distance, STOI/ESTOI
+All native (no external deps): SI-SNR, multi-scale mel distance, STOI/ESTOI
 (``eval/stoi.py``, pystoi-equivalent numerics — the reference's
-compute_stoi.py:12-27 tooling without the external dependency).
-External (gated import): PESQ (``pesq``) — reference compute_pesq.py:11-32,
-same resample-to-16k convention. ITU-T P.862 is a licensed codebase-scale
-algorithm; it stays an optional dependency rather than a reimplementation.
+compute_stoi.py:12-27 tooling), and PESQ nb+wb (``eval/pesq.py``, ITU-T
+P.862/P.862.2 — reference compute_pesq.py:11-32, same resample-to-16k
+convention). When the external ``pesq``/``pystoi`` packages are installed
+they are reported alongside as a cross-check (``*_ext`` keys).
 """
 
 from __future__ import annotations
@@ -52,22 +52,31 @@ def mel_distance(
 
 
 def pesq_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> Dict[str, float]:
-    """Narrow+wide-band PESQ at 16 kHz (resampled), reference convention."""
-    try:
-        from pesq import pesq
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("pesq is not installed; pip install pesq") from e
+    """Narrow+wide-band PESQ at 16 kHz (resampled), reference convention
+    (compute_pesq.py:11-32). Computed by the native P.862 implementation
+    (``eval/pesq.py``); if the external ``pesq`` package happens to be
+    installed its scores ride along under ``*_ext`` as a cross-check."""
     from scipy.signal import resample_poly
+
+    from academicodec_tpu.eval.pesq import pesq as native_pesq
 
     if sr != 16000:
         g = math.gcd(16000, sr)
         deg = resample_poly(deg, 16000 // g, sr // g)
         ref = resample_poly(ref, 16000 // g, sr // g)
     n = min(len(deg), len(ref))
-    return {
-        "pesq_nb": float(pesq(16000, ref[:n], deg[:n], "nb")),
-        "pesq_wb": float(pesq(16000, ref[:n], deg[:n], "wb")),
+    out = {
+        "pesq_nb": float(native_pesq(16000, ref[:n], deg[:n], "nb")),
+        "pesq_wb": float(native_pesq(16000, ref[:n], deg[:n], "wb")),
     }
+    try:  # pragma: no cover - absent in this image
+        from pesq import pesq as ext_pesq
+
+        out["pesq_nb_ext"] = float(ext_pesq(16000, ref[:n], deg[:n], "nb"))
+        out["pesq_wb_ext"] = float(ext_pesq(16000, ref[:n], deg[:n], "wb"))
+    except ImportError:
+        pass
+    return out
 
 
 def stoi_score(deg: np.ndarray, ref: np.ndarray, sr: int, extended: bool = False) -> float:
@@ -85,6 +94,9 @@ def evaluate_pair(
     deg: np.ndarray, ref: np.ndarray, sr: int, external: bool = True,
     estoi: bool = False,
 ) -> Dict[str, float]:
+    """All metrics for one (degraded, reference) pair. ``external=True``
+    includes PESQ (native; ~1 s/clip of host compute — the flag name is
+    historical, from when it gated the external package)."""
     out = {"si_snr": si_snr(deg, ref), "mel_l1": mel_distance(deg, ref, sr)}
     try:
         if estoi:
@@ -96,10 +108,16 @@ def evaluate_pair(
         else:
             out["stoi"] = stoi_score(deg, ref, sr)
     except ValueError:
-        pass  # too short / all-silent for the 384 ms STOI segments
+        # too short / all-silent for the 384 ms STOI segments: record the
+        # skip as NaN so aggregate reports disclose the excluded rows
+        # instead of averaging over a silently smaller subset
+        out["stoi"] = float("nan")
+        if estoi:
+            out["estoi"] = float("nan")
     if external:
         try:
             out.update(pesq_score(deg, ref, sr))
-        except ImportError:
-            pass
+        except ValueError:
+            out["pesq_nb"] = float("nan")  # too short for PESQ: disclose
+            out["pesq_wb"] = float("nan")
     return out

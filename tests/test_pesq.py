@@ -1,0 +1,169 @@
+"""Native PESQ (eval/pesq.py, ITU-T P.862 nb / P.862.2 wb).
+
+Pins the anchors that hold by construction of the standard (identical
+input -> raw 4.5 -> MOS-LQO 4.549 nb / 4.644 wb via the published P.862.1
+and P.862.2 mappings), the behavioral contract of the full pipeline
+(level invariance, delay invariance through the time aligner, strict
+monotonicity in SNR, additive noise punished more than equal-power signal
+removal — the asymmetry factor), and the API guards. Exact numerical
+parity with the ITU implementation is cross-checked via the optional
+``pesq`` package when installed (see eval/metrics.pesq_score); this image
+does not have it (zero egress), so these tests pin everything that can be
+pinned without it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from academicodec_tpu.eval.pesq import pesq, pesq_raw, time_align
+
+
+def _speech_like(fs: int, seconds: float = 3.0, seed: int = 0,
+                 pad: float = 0.25) -> np.ndarray:
+    """Syllabically modulated harmonic signal + noise floor, with leading/
+    trailing silence (the P.862 test-file convention)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(fs * seconds)) / fs
+    env = (np.sin(2 * np.pi * 2.5 * t) ** 2) * (np.sin(2 * np.pi * 0.3 * t) ** 2)
+    x = env * (
+        0.3 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 440 * t)
+        + 0.1 * np.sin(2 * np.pi * 880 * t)
+    )
+    x = x + 0.005 * rng.standard_normal(len(t))
+    z = np.zeros(int(fs * pad))
+    return np.concatenate([z, x, z])
+
+
+def _add_noise(x: np.ndarray, snr_db: float, seed: int = 1) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = rng.standard_normal(len(x))
+    n *= np.sqrt((x**2).mean() / (n**2).mean()) * 10 ** (-snr_db / 20)
+    return x + n
+
+
+@pytest.fixture(scope="module")
+def speech16():
+    return _speech_like(16000)
+
+
+def test_identical_anchor_values(speech16):
+    """Zero disturbance -> raw 4.5; the published output mappings give
+    4.549 (P.862.1 nb) and 4.644 (P.862.2 wb) — the same values the ITU
+    implementation returns for identical inputs."""
+    assert pesq_raw(16000, speech16, speech16, "nb") == pytest.approx(4.5)
+    assert pesq(16000, speech16, speech16, "nb") == pytest.approx(4.549, abs=1e-3)
+    assert pesq(16000, speech16, speech16, "wb") == pytest.approx(4.644, abs=1e-3)
+
+
+def test_identical_anchor_8k():
+    x = _speech_like(8000)
+    assert pesq(8000, x, x, "nb") == pytest.approx(4.549, abs=1e-3)
+
+
+@pytest.mark.parametrize("mode", ["nb", "wb"])
+def test_monotone_in_snr(speech16, mode):
+    scores = [pesq(16000, speech16, _add_noise(speech16, s), mode)
+              for s in (40, 30, 20, 10, 0)]
+    assert all(a > b for a, b in zip(scores, scores[1:])), scores
+    # 40 dB SNR broadband noise still fills the fixture's silences —
+    # P.862's asymmetry factor punishes added content in silence, so the
+    # score sits well below the identical-input anchor but stays high
+    assert scores[0] > 3.5
+    assert scores[-1] < 2.5  # 0 dB SNR is bad
+
+
+def test_level_invariance(speech16):
+    """Level alignment: a 20 dB gain on the degraded signal is compensated."""
+    base = pesq(16000, speech16, _add_noise(speech16, 25), "wb")
+    scaled = pesq(16000, speech16, _add_noise(speech16, 25) * 10.0, "wb")
+    assert scaled == pytest.approx(base, abs=0.05)
+
+
+@pytest.mark.parametrize("shift_ms", [10, 50, -50])
+def test_delay_invariance(speech16, shift_ms):
+    """The time aligner absorbs constant delay (within the 300 ms search
+    range): a shifted copy scores like the unshifted one. Leading/trailing
+    silence in the fixture keeps content from falling off the ends."""
+    fs = 16000
+    shift = int(abs(shift_ms) * fs / 1000)
+    if shift_ms >= 0:
+        d = np.concatenate([np.zeros(shift), speech16])[: len(speech16)]
+    else:
+        d = np.concatenate([speech16[shift:], np.zeros(shift)])
+    assert pesq(fs, speech16, d, "nb") > 4.4
+
+
+def test_time_align_recovers_constant_delay(speech16):
+    fs = 16000
+    for true_delay in (0, 160, 800, -800):
+        if true_delay >= 0:
+            d = np.concatenate([np.zeros(true_delay), speech16])[: len(speech16)]
+        else:
+            d = np.concatenate([speech16[-true_delay:], np.zeros(-true_delay)])
+        utts = time_align(speech16, d, fs)
+        assert utts, "no utterances found"
+        for (_s, _e, delay) in utts:
+            assert abs(delay - true_delay) <= 64, (true_delay, utts)
+
+
+def test_asymmetry_additive_worse_than_subtractive(speech16):
+    """The P.862 asymmetry factor: ADDING spectral content (coding noise)
+    is punished harder than REMOVING it (e.g. band-limiting)."""
+    fs = 16000
+    # subtractive: low-pass at 2 kHz (removes the 880*? harmonics + hiss)
+    from scipy.signal import butter, sosfiltfilt
+
+    sos = butter(6, 2000.0, btype="lowpass", fs=fs, output="sos")
+    removed = sosfiltfilt(sos, speech16)
+    added = _add_noise(speech16, 15)
+    s_removed = pesq(fs, speech16, removed, "nb")
+    s_added = pesq(fs, speech16, added, "nb")
+    assert s_removed > s_added, (s_removed, s_added)
+
+
+def test_quantization_degradation_ladder(speech16):
+    """Coarser waveform quantization -> strictly lower PESQ."""
+    fs = 16000
+
+    def quant(x, bits):
+        q = 2.0 ** (bits - 1)
+        return np.round(np.clip(x, -1, 1) * q) / q
+
+    scores = [pesq(fs, speech16, quant(speech16, b), "wb") for b in (12, 8, 5)]
+    assert scores[0] > scores[1] > scores[2], scores
+    assert scores[0] > 4.0 and scores[2] < 4.0
+
+
+def test_api_guards(speech16):
+    with pytest.raises(ValueError, match="fs"):
+        pesq(44100, speech16, speech16)
+    with pytest.raises(ValueError, match="mode"):
+        pesq(16000, speech16, speech16, "superwide")
+    with pytest.raises(ValueError, match="wideband"):
+        pesq(8000, speech16, speech16, "wb")
+    with pytest.raises(ValueError, match="short"):
+        pesq(16000, speech16[:1000], speech16[:1000])
+
+
+def test_metrics_pesq_score_resamples(speech16):
+    """pesq_score resamples to 16 kHz (reference compute_pesq.py:17-20
+    convention) and reports both bands."""
+    from scipy.signal import resample_poly
+
+    from academicodec_tpu.eval.metrics import pesq_score
+
+    x24 = resample_poly(speech16, 3, 2)  # pretend a 24 kHz corpus
+    out = pesq_score(x24, x24, 24000)
+    assert out["pesq_nb"] == pytest.approx(4.549, abs=2e-3)
+    assert out["pesq_wb"] == pytest.approx(4.644, abs=2e-3)
+
+
+def test_evaluate_pair_includes_pesq(speech16):
+    from academicodec_tpu.eval.metrics import evaluate_pair
+
+    out = evaluate_pair(_add_noise(speech16, 30), speech16, 16000)
+    assert {"si_snr", "mel_l1", "stoi", "pesq_nb", "pesq_wb"} <= set(out)
+    assert 1.0 <= out["pesq_nb"] <= 4.6
