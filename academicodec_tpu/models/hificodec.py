@@ -24,6 +24,7 @@ class VQVAE(nn.Module):
     config: HiFiCodecConfig = HiFiCodecConfig()
     norm: str = "weight_norm"  # "none" after utils.fold.fold_vqvae
     packed_conv: bool = False  # lanes-packed waveform-rate convs (ops/packed.py)
+    fused_resblock: bool = False  # Pallas fused decode towers (ops/pallas/resblock.py)
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -40,6 +41,7 @@ class VQVAE(nn.Module):
         self.generator = HiFiGANGenerator(
             config=h, norm=self.norm, causal=h.causal,
             packed_conv=self.packed_conv,
+            fused_resblock=self.fused_resblock,
             dtype=self.dtype, precision=self.precision,
         )
         self.quantizer = GroupResidualVQ(

@@ -146,7 +146,7 @@ class Conv1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x, packed_pads=None, pad_mode: str = "zero"):
+    def __call__(self, x, packed_pads=None, pad_mode: str = "zero", return_kernel: bool = False):
         k_shape = (self.kernel_size, self.in_channels // self.groups, self.out_channels)
         fan_in = (self.in_channels // self.groups) * self.kernel_size
         k_init = self.kernel_init or torch_conv_kernel_init(fan_in)
@@ -158,6 +158,13 @@ class Conv1d(nn.Module):
             if self.use_bias
             else None
         )
+        if return_kernel:
+            # weight-extraction mode for externally fused lowerings (the
+            # Pallas resblock tower): declare the exact same params (tree
+            # unchanged — checkpoint import still works) but hand the
+            # resolved kernel/bias to the caller instead of convolving
+            assert self.norm not in ("layer_norm", "time_group_norm"), self.norm
+            return kernel, bias
         if isinstance(x, Packed):  # lanes-packed path (ops/packed.py)
             from academicodec_tpu.ops import packed as packed_ops
 

@@ -115,11 +115,20 @@ def _res_conv(
         precision=precision,
         name=name,
     )
-    return lambda x, streaming=False: conv(x)
+    return lambda x, streaming=False, return_kernel=False: conv(
+        x, return_kernel=return_kernel
+    )
 
 
 class ResBlock1(nn.Module):
-    """3x [lrelu -> dilated conv -> lrelu -> unit conv] with residual adds."""
+    """3x [lrelu -> dilated conv -> lrelu -> unit conv] with residual adds.
+
+    ``collect=True`` declares the SAME conv submodules/params but returns
+    their resolved ``(kernels, biases)`` (call order convs1_0, convs2_0,
+    convs1_1, ...) instead of computing — the weight source for the fused
+    Pallas tower (ops/pallas/resblock.py), which needs the whole 3-chain
+    bundle at once. Non-causal only (the fused tower is a serving lowering).
+    """
 
     channels: int
     kernel_size: int = 3
@@ -130,12 +139,23 @@ class ResBlock1(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False, collect: bool = False):
         common = dict(
             channels=self.channels, kernel_size=self.kernel_size,
             norm=self.norm, causal=self.causal, dtype=self.dtype,
             precision=self.precision,
         )
+        if collect:
+            assert not self.causal, "fused tower has no causal variant"
+            ws, bs = [], []
+            for i, d in enumerate(self.dilation):
+                for nm, dd in ((f"convs1_{i}", d), (f"convs2_{i}", 1)):
+                    k, b = _res_conv(dilation=dd, name=nm, **common)(
+                        x, return_kernel=True
+                    )
+                    ws.append(k)
+                    bs.append(b)
+            return tuple(ws), tuple(bs)
         for i, d in enumerate(self.dilation):
             xt = _lrelu(x)
             xt = _res_conv(dilation=d, name=f"convs1_{i}", **common)(
@@ -150,7 +170,8 @@ class ResBlock1(nn.Module):
 
 
 class ResBlock2(nn.Module):
-    """2x [lrelu -> dilated conv] with residual adds."""
+    """2x [lrelu -> dilated conv] with residual adds. ``collect`` as in
+    :class:`ResBlock1` (call order convs_0, convs_1)."""
 
     channels: int
     kernel_size: int = 3
@@ -161,7 +182,19 @@ class ResBlock2(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, streaming: bool = False, collect: bool = False):
+        if collect:
+            assert not self.causal, "fused tower has no causal variant"
+            ws, bs = [], []
+            for i, d in enumerate(self.dilation):
+                k, b = _res_conv(
+                    channels=self.channels, kernel_size=self.kernel_size,
+                    dilation=d, norm=self.norm, causal=self.causal,
+                    dtype=self.dtype, precision=self.precision, name=f"convs_{i}",
+                )(x, return_kernel=True)
+                ws.append(k)
+                bs.append(b)
+            return tuple(ws), tuple(bs)
         for i, d in enumerate(self.dilation):
             xt = _lrelu(x)
             xt = _res_conv(
@@ -326,6 +359,13 @@ class HiFiGANGenerator(nn.Module):
     packed_conv: bool = False
     packed_entry: int = -1  # upsample stage to enter packed layout (-1 = auto)
     packed_p0: int = 1  # initial packing factor applied at entry
+    # fused Pallas resblock towers (ops/pallas/resblock.py) for stages with
+    # cout <= fused_max_channels: one HBM round trip per 18-conv bundle
+    # instead of 18, full-MXU im2col matmuls. Serving lowering — non-causal,
+    # non-streaming; bit-compatible with the plain path up to bf16
+    # reduction order (tests/test_pallas_resblock.py).
+    fused_resblock: bool = False
+    fused_max_channels: int = 64
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -335,11 +375,12 @@ class HiFiGANGenerator(nn.Module):
         assert not streaming or self.causal, "streaming requires causal=True"
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
+        fused = self.fused_resblock and not streaming and not self.causal
         # lanes-packing entry: the earliest upsample stage from which the
         # remaining packing factor stays small and channels are narrow
         # (same policy as SEANetDecoder.packed_tail; ops/packed.py).
         entry = None
-        if self.packed_conv and not streaming:
+        if self.packed_conv and not streaming and not fused:
             import numpy as _np
 
             if self.packed_entry >= 0:
@@ -409,6 +450,32 @@ class HiFiGANGenerator(nn.Module):
                     name=f"ups_{i}",
                 )(x)
             ch = cout
+            if fused and ch <= self.fused_max_channels:
+                from academicodec_tpu.ops.pallas.resblock import resblock_tower
+
+                ws, bs = [], []
+                for j, (rk, rd) in enumerate(
+                    zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
+                ):
+                    w_b = resblock_cls(
+                        channels=ch,
+                        kernel_size=rk,
+                        dilation=tuple(rd),
+                        norm=self.norm,
+                        causal=self.causal,
+                        dtype=self.dtype,
+                        precision=self.precision,
+                        name=f"resblocks_{i * num_kernels + j}",
+                    )(x, collect=True)
+                    ws.append(w_b[0])
+                    bs.append(w_b[1])
+                x = resblock_tower(
+                    x, tuple(ws), tuple(bs),
+                    kernel_sizes=tuple(h.resblock_kernel_sizes),
+                    dilation_sizes=tuple(tuple(d) for d in h.resblock_dilation_sizes),
+                    resblock=h.resblock,
+                )
+                continue
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)

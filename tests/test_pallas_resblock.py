@@ -1,0 +1,131 @@
+"""Fused Pallas resblock tower vs the plain conv path.
+
+The kernel (ops/pallas/resblock.py) must reproduce XLA's zero-"same" conv
+semantics exactly — including conv bias NOT bleeding past the sequence
+edge — for both ResBlock flavors, at f32 (exact) and bf16 (reduction-order
+tolerance), across tile boundaries, and through the HiFiGANGenerator
+integration with an unchanged parameter tree.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+import academicodec_tpu.ops.pallas.resblock as rb
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig, HiFiGANGenerator
+from academicodec_tpu.ops.conv import DN_1D
+
+
+def _lrelu(v):
+    return jnp.where(v >= 0, v, 0.1 * v)
+
+
+def _conv(x, w, b, d):
+    k = w.shape[0]
+    p = (k - 1) // 2 * d
+    y = lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1,), ((p, p),), rhs_dilation=(d,),
+        dimension_numbers=DN_1D,
+    )
+    return y + b.astype(x.dtype)
+
+
+def _ref_tower(x, weights, biases, ks, dss, resblock):
+    acc = 0
+    for g, (k, ds) in enumerate(zip(ks, dss)):
+        cur = x
+        if resblock == "1":
+            for pi, d in enumerate(ds):
+                y1 = _conv(_lrelu(cur), weights[g][2 * pi], biases[g][2 * pi], d)
+                y2 = _conv(_lrelu(y1), weights[g][2 * pi + 1], biases[g][2 * pi + 1], 1)
+                cur = cur + y2
+        else:
+            for pi, d in enumerate(ds):
+                cur = cur + _conv(_lrelu(cur), weights[g][pi], biases[g][pi], d)
+        acc = acc + cur
+    return acc / len(ks)
+
+
+def _rand_tower(rng, ks, dss, C, n_convs):
+    weights, biases = [], []
+    for k, ds in zip(ks, dss):
+        wg = tuple(
+            jnp.asarray(rng.standard_normal((k, C, C)) * 0.1, jnp.float32)
+            for _ in range(n_convs)
+        )
+        bg = tuple(
+            jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+            for _ in range(n_convs)
+        )
+        weights.append(wg)
+        biases.append(bg)
+    return tuple(weights), tuple(biases)
+
+
+@pytest.mark.parametrize(
+    "resblock,ks,dss,n_convs",
+    [
+        ("1", (3, 7, 11), ((1, 3, 5),) * 3, 6),
+        ("2", (3, 7), ((1, 3), (1, 3)), 2),
+    ],
+)
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_tower_matches_plain(resblock, ks, dss, n_convs, dtype):
+    rng = np.random.default_rng(0)
+    B, T, C = 2, 700, 32
+    x = jnp.asarray(rng.standard_normal((B, T, C)), dtype) * 0.5
+    weights, biases = _rand_tower(rng, ks, dss, C, n_convs)
+    ref = np.asarray(_ref_tower(x, weights, biases, ks, dss, resblock), np.float32)
+    out = np.asarray(
+        rb.resblock_tower(
+            x, weights, biases, kernel_sizes=ks, dilation_sizes=dss,
+            resblock=resblock, interpret=True,
+        ),
+        np.float32,
+    )
+    tol = 1e-5 if dtype == jnp.float32 else 1.5e-2 * np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, atol=float(tol))
+
+
+def test_tower_multi_tile_edges_exact(monkeypatch):
+    """Tile boundaries and sequence edges (bias masking) stay exact."""
+    monkeypatch.setattr(rb, "_pick_tile", lambda C, H: 256)
+    rng = np.random.default_rng(1)
+    ks, dss = (3, 7, 11), ((1, 3, 5),) * 3
+    B, T, C = 1, 1000, 32  # T deliberately not a multiple of the tile
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32) * 0.5
+    weights, biases = _rand_tower(rng, ks, dss, C, 6)
+    ref = np.asarray(_ref_tower(x, weights, biases, ks, dss, "1"), np.float32)
+    out = np.asarray(
+        rb.resblock_tower(
+            x, weights, biases, kernel_sizes=ks, dilation_sizes=dss,
+            resblock="1", interpret=True,
+        ),
+        np.float32,
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+    # the first/last halo-width samples are where bias masking matters
+    np.testing.assert_allclose(out[:, :70], ref[:, :70], atol=2e-5)
+    np.testing.assert_allclose(out[:, -70:], ref[:, -70:], atol=2e-5)
+
+
+def test_generator_fused_parity_and_tree():
+    """fused_resblock=True: identical param tree, near-identical f32 output."""
+    cfg = HiFiCodecConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=64,
+    )
+    z = (
+        jax.random.normal(jax.random.PRNGKey(1), (2, 50, cfg.latent_dim), jnp.float32)
+        * 0.1
+    )
+    gen_p = HiFiGANGenerator(config=cfg, dtype=jnp.float32)
+    gen_f = HiFiGANGenerator(config=cfg, dtype=jnp.float32, fused_resblock=True)
+    v = gen_p.init(jax.random.PRNGKey(0), z[:1, :8])
+    vf = gen_f.init(jax.random.PRNGKey(0), z[:1, :8])
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vf)
+    y0 = np.asarray(gen_p.apply(v, z))
+    y1 = np.asarray(gen_f.apply(v, z))
+    np.testing.assert_allclose(y1, y0, atol=1e-6)
