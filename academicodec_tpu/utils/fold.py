@@ -10,23 +10,28 @@ Norm axes mirror nn/conv.py: conv1d kernels ``[K, I, O]`` reduce (0, 1);
 transposed-conv kernels reduce (0, 2); conv2d ``[Kh, Kw, I, O]`` reduce
 (0, 1, 2). The axis choice is recovered from the parameter's context: keys
 under a ``convtr`` module are transposed.
+
+Folded kernels are produced as DEVICE arrays (jnp): a numpy leaf in the
+params tree would be re-uploaded host->device on EVERY jitted apply — on
+the TPU relay that costs seconds per call and silently dominates serving
+latency (measured 2.3 s/step before this was device-pinned).
 """
 
 from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
-import numpy as np
+import jax.numpy as jnp
 
 
-def _fold_kernel(v: np.ndarray, g: np.ndarray, transposed: bool) -> np.ndarray:
+def _fold_kernel(v: jnp.ndarray, g: jnp.ndarray, transposed: bool) -> jnp.ndarray:
     if v.ndim == 3:
         axes = (0, 2) if transposed else (0, 1)
     elif v.ndim == 4:
         axes = (0, 1, 2)
     else:
         raise ValueError(f"unexpected kernel rank {v.ndim}")
-    norm = np.sqrt(np.sum(np.square(v), axis=axes, keepdims=True))
+    norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
     return (g * v / norm).astype(v.dtype)
 
 
@@ -42,8 +47,8 @@ def fold_weight_norm(params: Any, _path: Tuple[str, ...] = ()) -> Any:
         transposed = any(p == "convtr" for p in _path) or (
             "generator" in _path and any(p.startswith("ups_") for p in _path)
         )
-        v = np.asarray(params["kernel_v"])
-        g = np.asarray(params["kernel_g"])
+        v = jnp.asarray(params["kernel_v"])
+        g = jnp.asarray(params["kernel_g"])
         out["kernel"] = _fold_kernel(v, g, transposed)
         for k in keys - {"kernel_v", "kernel_g"}:
             out[k] = fold_weight_norm(params[k], _path + (k,))

@@ -22,13 +22,22 @@ from academicodec_tpu.models.hificodec import VQVAE
 from academicodec_tpu.nn.hifigan import HiFiCodecConfig
 
 
+def _sync(out):
+    """Completion sync via a TINY host fetch: block_until_ready returns
+    early on the relay, and fetching the full output (3.7 MB of wav for
+    decode) would bill relay transfer time to the chip measurement —
+    same methodology as bench.py."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[(0,) * (leaf.ndim - 1)][..., :1])
+
+
 def bench(fn, *args, iters=20):
     out = fn(*args)
-    jax.tree.map(np.asarray, out)  # host-fetch sync (relay-safe)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.map(np.asarray, out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -46,9 +55,25 @@ def main():
     )
 
     results = {}
-    for packed in (False, True):
-        model = VQVAE(config=cfg, packed_conv=packed, dtype=jnp.bfloat16)
+    for key, packed, fold, fused in (
+        ("plain", False, False, False),
+        ("packed", True, False, False),
+        # serving configuration: lanes-packed + weight-norm folded to plain
+        # kernels (--fold_weight_norm in the CLIs; remove_weight_norm parity)
+        ("packed_folded", True, True, False),
+        # fused Pallas resblock towers on the decode side (encode keeps the
+        # packed head)
+        ("fused", True, False, True),
+    ):
+        model = VQVAE(
+            config=cfg, packed_conv=packed, fused_resblock=fused,
+            dtype=jnp.bfloat16,
+        )
         variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, wav[:1, :sr])
+        if fold:
+            from academicodec_tpu.utils.fold import fold_vqvae
+
+            model, variables = fold_vqvae(model, variables)
 
         encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
         decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
@@ -56,7 +81,6 @@ def main():
         codes = encode(variables, wav)
         t_enc = bench(encode, variables, wav)
         t_dec = bench(decode, variables, codes)
-        key = "packed" if packed else "plain"
         results[f"{key}_encode_ms"] = round(t_enc * 1e3, 2)
         results[f"{key}_decode_ms"] = round(t_dec * 1e3, 2)
         results[f"{key}_roundtrip_rt"] = round(

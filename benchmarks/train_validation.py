@@ -55,6 +55,9 @@ def main():
     p.add_argument("--seconds", type=float, default=1.0)
     p.add_argument("--disc_start", type=int, default=100)
     p.add_argument("--family", choices=("encodec", "hificodec"), default="encodec")
+    p.add_argument("--save_path", type=str, default=None,
+                   help="directory to save the final generator checkpoint "
+                        "(consumed by benchmarks/lm_compression_probe.py)")
     args = p.parse_args()
 
     try:
@@ -145,6 +148,15 @@ def main():
             row.update(step=step, loss_g=round(loss_g, 2))
             history.append(row)
             print(json.dumps(row), flush=True)
+
+    if args.save_path:
+        from academicodec_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            args.save_path, f"val_{args.family}", args.steps,
+            {"g_params": jax.device_get(state.g_params),
+             "g_extra": jax.device_get(state.g_extra)},
+        )
 
     steady = (time.perf_counter() - t_step) / max(args.steps - 1, 1)
     first, last = history[0], history[-1]
