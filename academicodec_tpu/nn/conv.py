@@ -207,7 +207,7 @@ class ConvTranspose1d(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x, streaming_ola: bool = False, packed_pads=None):
+    def __call__(self, x, streaming_ola: bool = False, packed_pads=None, return_kernel: bool = False):
         k_shape = (self.kernel_size, self.in_channels, self.out_channels)
         fan_in = self.out_channels * self.kernel_size  # torch convT fan_in = out*k
         k_init = self.kernel_init or torch_conv_kernel_init(fan_in)
@@ -220,6 +220,10 @@ class ConvTranspose1d(nn.Module):
             if self.use_bias
             else None
         )
+        if return_kernel:
+            # weight-extraction mode (see Conv1d) — identical param tree,
+            # resolved [K, Cin, Cout] kernel handed to a fused lowering
+            return kernel, bias
         if isinstance(x, Packed):  # lanes-packed path (ops/packed.py)
             from academicodec_tpu.ops import packed as packed_ops
 

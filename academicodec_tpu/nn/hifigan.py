@@ -416,12 +416,59 @@ class HiFiGANGenerator(nn.Module):
                 name="conv_pre",
             )(x)
         ch = h.upsample_initial_channel
+        n_up = len(h.upsample_rates)
+        post_fused = False
         for i, (u, k) in enumerate(zip(h.upsample_rates, h.upsample_kernel_sizes)):
+            cin = h.upsample_initial_channel // (2**i)
+            cout = h.upsample_initial_channel // (2 ** (i + 1))
+            if fused and cout <= self.fused_max_channels:
+                # fully fused stage: lrelu + upsample convT (phase-major
+                # prologue) + 3-chain tower (+ lrelu/conv_post/tanh epilogue
+                # on the last stage) — one Pallas call, one HBM round trip
+                from academicodec_tpu.ops.pallas.resblock import resblock_tower
+
+                wT, bT = ConvTranspose1d(
+                    in_channels=cin, out_channels=cout, kernel_size=k,
+                    stride=u, padding=((k - u) // 2,) * 2, norm=self.norm,
+                    kernel_init=hifigan_normal_init, dtype=self.dtype,
+                    precision=self.precision, name=f"ups_{i}",
+                )(x, return_kernel=True)
+                ws, bs = [], []
+                for j, (rk, rd) in enumerate(
+                    zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
+                ):
+                    w_b = resblock_cls(
+                        channels=cout, kernel_size=rk, dilation=tuple(rd),
+                        norm=self.norm, causal=self.causal, dtype=self.dtype,
+                        precision=self.precision,
+                        name=f"resblocks_{i * num_kernels + j}",
+                    )(x, collect=True)
+                    ws.append(w_b[0])
+                    bs.append(w_b[1])
+                post_kw = {}
+                if i == n_up - 1:
+                    wp, bp = Conv1d(
+                        in_channels=cout, out_channels=1, kernel_size=7,
+                        padding=(3, 3), norm=self.norm,
+                        kernel_init=hifigan_normal_init, dtype=self.dtype,
+                        precision=self.precision, name="conv_post",
+                    )(x, return_kernel=True)
+                    post_kw = dict(post_kernel=wp, post_bias=bp, post_tanh=True)
+                    post_fused = True
+                x = resblock_tower(
+                    x, tuple(ws), tuple(bs),
+                    kernel_sizes=tuple(h.resblock_kernel_sizes),
+                    dilation_sizes=tuple(tuple(d) for d in h.resblock_dilation_sizes),
+                    resblock=h.resblock,
+                    pre_kernel=wT, pre_bias=bT, pre_stride=u,
+                    pre_pad=(k - u) // 2,
+                    **post_kw,
+                )
+                ch = cout
+                continue
             if i == entry:
                 x = packed_ops.pack_t(x, self.packed_p0)
             x = _lrelu(x)
-            cin = h.upsample_initial_channel // (2**i)
-            cout = h.upsample_initial_channel // (2 ** (i + 1))
             if self.causal:
                 x = SConvTranspose1d(
                     in_channels=cin,
@@ -450,32 +497,6 @@ class HiFiGANGenerator(nn.Module):
                     name=f"ups_{i}",
                 )(x)
             ch = cout
-            if fused and ch <= self.fused_max_channels:
-                from academicodec_tpu.ops.pallas.resblock import resblock_tower
-
-                ws, bs = [], []
-                for j, (rk, rd) in enumerate(
-                    zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
-                ):
-                    w_b = resblock_cls(
-                        channels=ch,
-                        kernel_size=rk,
-                        dilation=tuple(rd),
-                        norm=self.norm,
-                        causal=self.causal,
-                        dtype=self.dtype,
-                        precision=self.precision,
-                        name=f"resblocks_{i * num_kernels + j}",
-                    )(x, collect=True)
-                    ws.append(w_b[0])
-                    bs.append(w_b[1])
-                x = resblock_tower(
-                    x, tuple(ws), tuple(bs),
-                    kernel_sizes=tuple(h.resblock_kernel_sizes),
-                    dilation_sizes=tuple(tuple(d) for d in h.resblock_dilation_sizes),
-                    resblock=h.resblock,
-                )
-                continue
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
@@ -492,6 +513,8 @@ class HiFiGANGenerator(nn.Module):
                 )(x, streaming=streaming)
                 xs = r if xs is None else xs + r
             x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
+        if post_fused:
+            return x  # conv_post + tanh ran inside the last fused stage
         x = _lrelu(x)
         if self.causal:
             x = SConv1d(

@@ -98,22 +98,39 @@ def _tower_kernel(
     TT: int,
     H: int,
     T_real: int,
+    pre,  # None | (u, m_max, phase_taps) — fused upsample-convT prologue
+    post,  # None | (kp, C_post, tanh) — fused conv_post epilogue
     # refs
-    x_hbm,  # [B, C, H + nT*TT + H] bf16 (zero-padded)
+    x_hbm,  # tower in [B, C, H+nT*TT+H] | convT in [B, C_in, padded q-coords]
     *rest,
 ):
     n_chains = len(chains)
     w_refs = rest[:n_chains]  # each [n_convs, C, k*C] bf16
     b_refs = rest[n_chains : 2 * n_chains]  # each [n_convs, C, 1] f32
-    o_ref = rest[2 * n_chains]  # [1, C, TT]
-    xt = rest[2 * n_chains + 1]  # VMEM [C, TW] bf16 scratch
-    sem = rest[2 * n_chains + 2]
+    rest = rest[2 * n_chains :]
+    if pre is not None:
+        wpre_ref, bpre_ref = rest[0], rest[1]  # [u, C, taps*C_in], [C, 1]
+        rest = rest[2:]
+    if post is not None:
+        wpost_ref, bpost_ref = rest[0], rest[1]  # [C_post, kp*C], [C_post, 1]
+        rest = rest[2:]
+    o_ref = rest[0]  # [1, C or C_post, TT]
+    xt = rest[1]  # VMEM DMA scratch
+    sem = rest[2]
 
     i = pl.program_id(0)
     j = pl.program_id(1)
     TW = TT + 2 * H
 
-    dma = pltpu.make_async_copy(x_hbm.at[i, :, pl.ds(j * TT, TW)], xt, sem)
+    if pre is None:
+        dma = pltpu.make_async_copy(x_hbm.at[i, :, pl.ds(j * TT, TW)], xt, sem)
+    else:
+        u, m_max, phase_taps = pre
+        TqW0 = TW // u
+        m_span = xt.shape[1] - TqW0
+        dma = pltpu.make_async_copy(
+            x_hbm.at[i, :, pl.ds(j * (TT // u), TqW0 + m_span)], xt, sem
+        )
     dma.start()
     dma.wait()
 
@@ -140,7 +157,30 @@ def _tower_kernel(
         return jnp.where(valid, y, 0.0)
 
     cdtype = xt.dtype
-    x0 = xt[:]
+    if pre is None:
+        x0 = xt[:]
+    else:
+        # fused transposed-conv prologue, phase-major: phase r of the output
+        # reads input taps z[q - m] with static per-phase (m, j) placement;
+        # each phase is one MXU matmul, then phases interleave onto lanes
+        z = lrelu(xt[:])
+        ys = []
+        for r in range(u):
+            taps = phase_taps[r]
+            parts = [
+                jax.lax.slice_in_dim(z, m_max - m, m_max - m + TqW0, axis=1)
+                for (m, _) in taps
+            ]
+            col = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            yr = jax.lax.dot_general(
+                wpre_ref[r, :, : col.shape[0]], col,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ys.append(yr)
+        y = jnp.stack(ys, axis=0)  # [u, C, TqW0]
+        y = jnp.transpose(y, (1, 2, 0)).reshape(C, TW) + bpre_ref[:]
+        x0 = jnp.where(valid, y, 0.0).astype(cdtype)
     acc = jnp.zeros((C, TW), jnp.float32)
     for g, (k, conv_ds) in enumerate(chains):
         w = w_refs[g]
@@ -160,25 +200,73 @@ def _tower_kernel(
                 cur = (cur.astype(jnp.float32) + y).astype(cdtype)
         acc = acc + cur.astype(jnp.float32)
 
-    out = (acc / float(n_chains))[:, H : H + TT]
-    o_ref[0] = out.astype(o_ref.dtype)
+    mean = acc / float(n_chains)
+    if post is None:
+        o_ref[0] = mean[:, H : H + TT].astype(o_ref.dtype)
+    else:
+        # fused conv_post epilogue: lrelu -> k=kp conv -> (tanh). The final
+        # C_post=1 output would waste 99% of an XLA conv's lanes; here it is
+        # one [C_post, kp*C] matmul on the already-resident tower output.
+        kp, _c_post, tanh_flag = post
+        a = lrelu(mean).astype(cdtype)
+        col = _shift_cols(a, kp, 1)
+        y = (
+            jax.lax.dot_general(
+                wpost_ref[:], col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bpost_ref[:]
+        )
+        if tanh_flag:
+            y = jnp.tanh(y)
+        o_ref[0] = y[:, H : H + TT].astype(o_ref.dtype)
 
 
-def _pick_tile(C: int, H: int) -> int:
-    """Time-tile size targeting ~8 MB of VMEM live data."""
+def _pick_tile(C: int, H: int, u: int = 1) -> int:
+    """Time-tile size targeting ~8 MB of VMEM live data (multiple of the
+    prologue's upsample factor so tiles stay phase-aligned)."""
     # dominant buffers: col [k_max*C, TW] bf16 + a few [C, TW] f32
     budget = 8 * 1024 * 1024
-    for tt in (8192, 6144, 4096, 3072, 2048, 1024, 512, 256, 128):
+    import math as _math
+
+    step = 128 * u // _math.gcd(128, u)
+    for tt0 in (8192, 6144, 4096, 3072, 2048, 1024, 512, 256, 128):
+        tt = (tt0 // step) * step
+        if tt == 0:
+            continue
         tw = tt + 2 * H
         live = 11 * C * tw * 2 + 5 * C * tw * 4
         if live <= budget:
             return tt
-    return 128
+    return step
+
+
+def _convt_phase_taps(k: int, u: int, pad: int):
+    """Static tap placement for the phase-major transposed conv.
+
+    Output ``y[u*q + r] = sum_m x[q - m] K[r + pad + u*m]`` over the ``m``
+    with ``0 <= r + pad + u*m < k``. Returns (m_min, m_max, per-phase
+    ((m, j), ...)).
+    """
+    phases = []
+    m_lo, m_hi = 10**9, -(10**9)
+    for r in range(u):
+        taps = []
+        ms = [m for m in range(-k, k + 1) if 0 <= r + pad + u * m < k]
+        for m in ms:
+            taps.append((m, r + pad + u * m))
+            m_lo = min(m_lo, m)
+            m_hi = max(m_hi, m)
+        phases.append(tuple(taps))
+    return m_lo, m_hi, tuple(phases)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_sizes", "dilation_sizes", "resblock", "interpret"),
+    static_argnames=(
+        "kernel_sizes", "dilation_sizes", "resblock", "pre_stride", "pre_pad",
+        "post_tanh", "interpret",
+    ),
 )
 def resblock_tower(
     x: jnp.ndarray,
@@ -188,6 +276,13 @@ def resblock_tower(
     kernel_sizes: Tuple[int, ...],
     dilation_sizes: Tuple[Tuple[int, ...], ...],
     resblock: str = "1",
+    pre_kernel: jnp.ndarray = None,  # [k, C_in, C] convT into the tower
+    pre_bias: jnp.ndarray = None,
+    pre_stride: int = 1,
+    pre_pad: int = 0,
+    post_kernel: jnp.ndarray = None,  # [kp, C, C_post] conv after the tower
+    post_bias: jnp.ndarray = None,
+    post_tanh: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Mean of all resblock chains over ``x [B, T, C]`` -> ``[B, T, C]``.
@@ -195,15 +290,27 @@ def resblock_tower(
     ``weights[g][i]`` is conv ``i`` of chain ``g`` as ``[k, C_in, C_out]``
     (flax layout); ``biases[g][i]`` is ``[C]``. Chain call order follows
     ResBlock1 (convs1_0, convs2_0, convs1_1, ...) / ResBlock2 (convs_0, ...).
+
+    With ``pre_kernel``: ``x [B, T_in, C_in]`` first passes through
+    lrelu -> ConvTranspose1d(stride=pre_stride, torch-crop pre_pad each
+    side) INSIDE the kernel (phase-major matmuls) — the generator's
+    upsample entering its resblock stage without an HBM round trip. With
+    ``post_kernel``: lrelu -> conv -> (tanh) epilogue, fusing conv_post.
     """
-    B, T, C = x.shape
+    u = pre_stride if pre_kernel is not None else 1
+    if pre_kernel is not None:
+        B, T_in, C_in = x.shape
+        C = pre_kernel.shape[2]
+        T = T_in * u  # (k - u) even with pad = (k-u)//2 -> exact upsample
+    else:
+        B, T, C = x.shape
     H = tower_halo(kernel_sizes, dilation_sizes, resblock)
-    TT = _pick_tile(C, H)
+    if post_kernel is not None:
+        H += (post_kernel.shape[0] - 1) // 2
+    H = -(-H // u) * u  # phase alignment for the prologue
+    TT = _pick_tile(C, H, u)
     nT = -(-T // TT)
     interpret = interpret or jax.default_backend() == "cpu"
-
-    xT = jnp.swapaxes(x, 1, 2)  # [B, C, T]; storage/compute in x.dtype
-    xT = jnp.pad(xT, ((0, 0), (0, 0), (H, nT * TT - T + H)))
 
     chains = tuple(
         (k, chain_conv_dilations(ds, resblock))
@@ -222,20 +329,66 @@ def resblock_tower(
         b_ins.append(jnp.stack(bg).astype(jnp.float32))
 
     TW = TT + 2 * H
-    kernel = functools.partial(_tower_kernel, chains, resblock, C, TT, H, T)
+    extra_ins = []
+    pre = post = None
+    if pre_kernel is not None:
+        kpre = pre_kernel.shape[0]
+        m_lo, m_hi, phase_taps = _convt_phase_taps(kpre, u, pre_pad)
+        m_span = m_hi - m_lo
+        TqW0 = TW // u
+        # input in q-coords, padded so DMA window j*(TT//u) .. +TqW0+m_span
+        # covers q = (j*TT - H)/u - m_hi .. (j*TT + TT + H)/u - m_lo
+        xT = jnp.swapaxes(x, 1, 2)  # [B, C_in, T_in]
+        pad_lo = H // u + m_hi
+        pad_hi = (nT * TT + H) // u - T_in - m_lo
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (pad_lo, max(0, pad_hi))))
+        n_taps_max = max(len(p) for p in phase_taps)
+        wp = jnp.zeros((u, C, n_taps_max * C_in), jnp.float32)
+        for r, taps in enumerate(phase_taps):
+            for ti, (m, jj) in enumerate(taps):
+                # W[r, o, ti*C_in + ci] = pre_kernel[jj, ci, o]
+                wp = wp.at[r, :, ti * C_in : (ti + 1) * C_in].set(
+                    jnp.transpose(pre_kernel[jj], (1, 0))
+                )
+        # kernel reads taps in the order listed -> shift by (m_hi - m)
+        pre = (u, m_hi, phase_taps)
+        extra_ins = [
+            wp.astype(x.dtype),
+            (pre_bias if pre_bias is not None else jnp.zeros((C,))).reshape(C, 1).astype(jnp.float32),
+        ]
+        scratch = pltpu.VMEM((C_in, TqW0 + m_span), x.dtype)
+    else:
+        xT = jnp.swapaxes(x, 1, 2)  # [B, C, T]; storage/compute in x.dtype
+        xT = jnp.pad(xT, ((0, 0), (0, 0), (H, nT * TT - T + H)))
+        scratch = pltpu.VMEM((C, TW), x.dtype)
+
+    C_out = C
+    if post_kernel is not None:
+        kp = post_kernel.shape[0]
+        C_out = post_kernel.shape[2]
+        post = (kp, C_out, post_tanh)
+        extra_ins += [
+            jnp.transpose(post_kernel, (2, 0, 1)).reshape(C_out, kp * C).astype(x.dtype),
+            (post_bias if post_bias is not None else jnp.zeros((C_out,))).reshape(C_out, 1).astype(jnp.float32),
+        ]
+
+    kernel = functools.partial(
+        _tower_kernel, chains, resblock, C, TT, H, T, pre, post
+    )
     out = pl.pallas_call(
         kernel,
         grid=(B, nT),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * len(chains)),
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (2 * len(chains) + len(extra_ins)),
         out_specs=pl.BlockSpec(
-            (1, C, TT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+            (1, C_out, TT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, C, nT * TT), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C_out, nT * TT), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, TW), x.dtype),
+            scratch,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(xT, *w_ins, *b_ins)
+    )(xT, *w_ins, *b_ins, *extra_ins)
     return jnp.swapaxes(out[:, :, :T], 1, 2)

@@ -91,7 +91,7 @@ def test_tower_matches_plain(resblock, ks, dss, n_convs, dtype):
 
 def test_tower_multi_tile_edges_exact(monkeypatch):
     """Tile boundaries and sequence edges (bias masking) stay exact."""
-    monkeypatch.setattr(rb, "_pick_tile", lambda C, H: 256)
+    monkeypatch.setattr(rb, "_pick_tile", lambda C, H, u=1: 256)
     rng = np.random.default_rng(1)
     ks, dss = (3, 7, 11), ((1, 3, 5),) * 3
     B, T, C = 1, 1000, 32  # T deliberately not a multiple of the tile
@@ -109,6 +109,35 @@ def test_tower_multi_tile_edges_exact(monkeypatch):
     # the first/last halo-width samples are where bias masking matters
     np.testing.assert_allclose(out[:, :70], ref[:, :70], atol=2e-5)
     np.testing.assert_allclose(out[:, -70:], ref[:, -70:], atol=2e-5)
+
+
+def test_tower_pre_post_multi_tile(monkeypatch):
+    """ConvT prologue + conv_post epilogue, across tile boundaries."""
+    monkeypatch.setattr(rb, "_pick_tile", lambda C, H, u=1: 256)
+    rng = np.random.default_rng(3)
+    ks, dss = (3, 7, 11), ((1, 3, 5),) * 3
+    B, T_in, C_in, C, u, kT = 1, 500, 16, 32, 4, 8
+    z = jnp.asarray(rng.standard_normal((B, T_in, C_in)), jnp.float32) * 0.5
+    weights, biases = _rand_tower(rng, ks, dss, C, 6)
+    wT = jnp.asarray(rng.standard_normal((kT, C_in, C)) * 0.1, jnp.float32)
+    bT = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+    wp = jnp.asarray(rng.standard_normal((7, C, 1)) * 0.1, jnp.float32)
+    bp = jnp.asarray(rng.standard_normal(1) * 0.1, jnp.float32)
+
+    from academicodec_tpu.ops.conv import conv_transpose1d
+
+    a = _lrelu(z)
+    y = conv_transpose1d(a, wT, bT, stride=u, padding=((kT - u) // 2,) * 2)
+    tower = _ref_tower(y, weights, biases, ks, dss, "1")
+    ref = jnp.tanh(_conv(_lrelu(tower), wp, bp, 1))
+
+    out = rb.resblock_tower(
+        z, weights, biases, kernel_sizes=ks, dilation_sizes=dss, resblock="1",
+        pre_kernel=wT, pre_bias=bT, pre_stride=u, pre_pad=(kT - u) // 2,
+        post_kernel=wp, post_bias=bp, post_tanh=True, interpret=True,
+    )
+    assert out.shape == (B, T_in * u, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_generator_fused_parity_and_tree():
