@@ -36,6 +36,7 @@ class VQVAE(nn.Module):
         h = self.config
         self.encoder = HiFiGANEncoder(
             config=h, norm=self.norm, packed_conv=self.packed_conv,
+            fused_resblock=self.fused_resblock,
             dtype=self.dtype, precision=self.precision,
         )
         self.generator = HiFiGANGenerator(

@@ -244,6 +244,12 @@ class HiFiGANEncoder(nn.Module):
     config: HiFiCodecConfig
     norm: str = "weight_norm"
     packed_conv: bool = False
+    # fused Pallas chains for the narrow waveform-rate stages (see
+    # HiFiGANGenerator.fused_resblock). The encoder's GroupNorms normalize
+    # the ACCUMULATED sum between chains (models.py:410-415), so chains are
+    # fused one at a time and the norms stay in XLA.
+    fused_resblock: bool = False
+    fused_max_channels: int = 64
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -303,9 +309,12 @@ class HiFiGANEncoder(nn.Module):
                     f"{ch} channels but GroupNorm uses ch//16 groups "
                     "(reference models.py:412); need base*2 >= 16"
                 )
+            fuse_stage = self.fused_resblock and ch <= self.fused_max_channels
+            if fuse_stage and isinstance(x, packed_ops.Packed):
+                x = packed_ops.unpack_t(x)  # fused chains run on plain layout
             xs = None
             for j in range(num_kernels):
-                r = resblock_cls(
+                rb = resblock_cls(
                     channels=ch,
                     kernel_size=rks[j],
                     dilation=tuple(rds[j]),
@@ -313,7 +322,19 @@ class HiFiGANEncoder(nn.Module):
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"resblocks_{i * num_kernels + j}",
-                )(x)
+                )
+                if fuse_stage:
+                    from academicodec_tpu.ops.pallas.resblock import resblock_tower
+
+                    ws, bs = rb(x, collect=True)
+                    r = resblock_tower(
+                        x, (ws,), (bs,),
+                        kernel_sizes=(rks[j],),
+                        dilation_sizes=(tuple(rds[j]),),
+                        resblock=h.resblock,
+                    )
+                else:
+                    r = rb(x)
                 # the reference normalizes the *accumulated* sum each step
                 # (models.py:410-415)
                 xs = r if xs is None else xs + r

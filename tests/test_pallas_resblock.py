@@ -140,6 +140,30 @@ def test_tower_pre_post_multi_tile(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_vqvae_fused_tokens_and_decode_parity():
+    """Whole-model check: fused encoder chains + fused generator stages
+    produce bit-identical tokens and ~exact f32 decode vs the plain model,
+    with and without the packed encoder head."""
+    from academicodec_tpu.models.hificodec import VQVAE
+
+    cfg = HiFiCodecConfig(
+        upsample_rates=(4, 4, 2), upsample_kernel_sizes=(8, 8, 4),
+        upsample_initial_channel=128, encoder_base_channels=16,
+    )
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 3200), jnp.float32) * 0.1
+    ref_c = ref_o = None
+    for fused, packed in ((False, False), (True, False), (True, True)):
+        m = VQVAE(config=cfg, fused_resblock=fused, packed_conv=packed)
+        v = jax.jit(m.init)({"params": jax.random.PRNGKey(0)}, wav[:1, :640])
+        codes = np.asarray(m.apply(v, wav, method=VQVAE.encode))
+        out = np.asarray(m.apply(v, codes, method=VQVAE.decode))
+        if ref_c is None:
+            ref_c, ref_o = codes, out
+        else:
+            assert np.array_equal(codes, ref_c)
+            np.testing.assert_allclose(out, ref_o, atol=1e-6)
+
+
 def test_generator_fused_parity_and_tree():
     """fused_resblock=True: identical param tree, near-identical f32 output."""
     cfg = HiFiCodecConfig(
