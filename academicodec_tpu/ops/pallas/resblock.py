@@ -227,9 +227,9 @@ def _pick_tile(C: int, H: int, u: int = 1) -> int:
     prologue's upsample factor so tiles stay phase-aligned)."""
     # dominant buffers: col [k_max*C, TW] bf16 + a few [C, TW] f32
     budget = 8 * 1024 * 1024
-    import math as _math
-
-    step = 128 * u // _math.gcd(128, u)
+    # TT must divide into 128-lane-aligned tiles AND keep TT//u a multiple
+    # of 128 (the prologue's DMA start is j*(TT//u) in input q-coords)
+    step = 128 * u
     for tt0 in (8192, 6144, 4096, 3072, 2048, 1024, 512, 256, 128):
         tt = (tt0 // step) * step
         if tt == 0:
@@ -307,7 +307,14 @@ def resblock_tower(
     H = tower_halo(kernel_sizes, dilation_sizes, resblock)
     if post_kernel is not None:
         H += (post_kernel.shape[0] - 1) // 2
-    H = -(-H // u) * u  # phase alignment for the prologue
+    # Mosaic HBM slices must be 128-aligned on the lane dim: round the halo
+    # so TW = TT + 2H stays a multiple of 128 (and of the upsample factor u
+    # for phase alignment). Extra halo positions are just more masked
+    # garbage — correctness only needs H >= the tower's receptive halo.
+    import math as _math
+
+    align = 64 * u // _math.gcd(64, u)
+    H = -(-H // align) * align
     TT = _pick_tile(C, H, u)
     nT = -(-T // TT)
     interpret = interpret or jax.default_backend() == "cpu"
@@ -334,13 +341,15 @@ def resblock_tower(
     if pre_kernel is not None:
         kpre = pre_kernel.shape[0]
         m_lo, m_hi, phase_taps = _convt_phase_taps(kpre, u, pre_pad)
-        m_span = m_hi - m_lo
         TqW0 = TW // u
-        # input in q-coords, padded so DMA window j*(TT//u) .. +TqW0+m_span
-        # covers q = (j*TT - H)/u - m_hi .. (j*TT + TT + H)/u - m_lo
+        # input in q-coords, padded so the DMA window starting at j*(TT//u)
+        # covers q = (j*TT - H)/u - m_hi .. (j*TT + TT + H)/u - m_lo; the
+        # window width rounds up to 128 for Mosaic's HBM slice alignment
+        # (TT//u is already a multiple of 128 via _pick_tile)
+        dma_w = -(-(TqW0 + (m_hi - m_lo)) // 128) * 128
         xT = jnp.swapaxes(x, 1, 2)  # [B, C_in, T_in]
         pad_lo = H // u + m_hi
-        pad_hi = (nT * TT + H) // u - T_in - m_lo
+        pad_hi = (nT - 1) * (TT // u) + dma_w - pad_lo - T_in
         xT = jnp.pad(xT, ((0, 0), (0, 0), (pad_lo, max(0, pad_hi))))
         n_taps_max = max(len(p) for p in phase_taps)
         wp = jnp.zeros((u, C, n_taps_max * C_in), jnp.float32)
@@ -356,7 +365,7 @@ def resblock_tower(
             wp.astype(x.dtype),
             (pre_bias if pre_bias is not None else jnp.zeros((C,))).reshape(C, 1).astype(jnp.float32),
         ]
-        scratch = pltpu.VMEM((C_in, TqW0 + m_span), x.dtype)
+        scratch = pltpu.VMEM((C_in, dma_w), x.dtype)
     else:
         xT = jnp.swapaxes(x, 1, 2)  # [B, C, T]; storage/compute in x.dtype
         xT = jnp.pad(xT, ((0, 0), (0, 0), (H, nT * TT - T + H)))
