@@ -36,6 +36,9 @@ def get_args():
                    help="peak-normalize *0.95 (infer.ipynb convention)")
     p.add_argument("--packed_conv", action="store_true",
                    help="lanes-packed waveform-rate convs (serving fast path)")
+    p.add_argument("--fused_resblock", action="store_true",
+                   help="fused Pallas resblock towers on the narrow stages "
+                        "(TPU serving fast path; ops/pallas/resblock.py)")
     p.add_argument("--fold_weight_norm", action="store_true",
                    help="fold weight-norm params for serving "
                         "(reference remove_weight_norm, vqvae_copy_syn.py:33)")
@@ -64,7 +67,10 @@ def main():
 
     with open(args.config) as fh:
         cfg = HiFiCodecConfig.from_json(json.load(fh))
-    model = VQVAE(config=cfg, packed_conv=args.packed_conv)
+    model = VQVAE(
+        config=cfg, packed_conv=args.packed_conv,
+        fused_resblock=args.fused_resblock,
+    )
     variables = load_variables(args.model_path, model)
     if args.fold_weight_norm:
         from academicodec_tpu.utils.fold import fold_vqvae

@@ -143,7 +143,9 @@ def _tower_kernel(
     valid = (tpos >= 0) & (tpos < T_real)
 
     def lrelu(v):
-        return jnp.where(v >= 0, v, jnp.asarray(LRELU_SLOPE, v.dtype) * v)
+        # compare in f32: Mosaic has no bf16 vector cmpf on this target
+        f = v.astype(jnp.float32)
+        return jnp.where(f >= 0, f, LRELU_SLOPE * f).astype(v.dtype)
 
     def conv(w, b, a, k, d):
         col = _shift_cols(a, k, d)
