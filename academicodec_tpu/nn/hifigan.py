@@ -387,6 +387,13 @@ class HiFiGANGenerator(nn.Module):
     # reduction order (tests/test_pallas_resblock.py).
     fused_resblock: bool = False
     fused_max_channels: int = 64
+    # also fuse the upsample convT INTO the tower kernel (phase-major
+    # prologue). Default off on TPU: Mosaic cannot lower the phase
+    # interleave ("unsupported shape cast" on the [C, Tq, u] -> [C, T]
+    # collapse); the XLA convT feeds the fused tower instead. The kernel
+    # path is complete and interpret-tested — flip on when Mosaic grows the
+    # layout cast.
+    fused_pre: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -443,17 +450,22 @@ class HiFiGANGenerator(nn.Module):
             cin = h.upsample_initial_channel // (2**i)
             cout = h.upsample_initial_channel // (2 ** (i + 1))
             if fused and cout <= self.fused_max_channels:
-                # fully fused stage: lrelu + upsample convT (phase-major
-                # prologue) + 3-chain tower (+ lrelu/conv_post/tanh epilogue
-                # on the last stage) — one Pallas call, one HBM round trip
+                # fused stage: 3-chain tower (+ lrelu/conv_post/tanh
+                # epilogue on the last stage) in one Pallas call; the
+                # upsample convT either fuses in as the phase-major
+                # prologue (fused_pre) or runs as the XLA convT
                 from academicodec_tpu.ops.pallas.resblock import resblock_tower
 
-                wT, bT = ConvTranspose1d(
+                ups = ConvTranspose1d(
                     in_channels=cin, out_channels=cout, kernel_size=k,
                     stride=u, padding=((k - u) // 2,) * 2, norm=self.norm,
                     kernel_init=hifigan_normal_init, dtype=self.dtype,
                     precision=self.precision, name=f"ups_{i}",
-                )(x, return_kernel=True)
+                )
+                if self.fused_pre:
+                    wT, bT = ups(x, return_kernel=True)
+                else:
+                    x = ups(_lrelu(x))
                 ws, bs = [], []
                 for j, (rk, rd) in enumerate(
                     zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
@@ -476,13 +488,18 @@ class HiFiGANGenerator(nn.Module):
                     )(x, return_kernel=True)
                     post_kw = dict(post_kernel=wp, post_bias=bp, post_tanh=True)
                     post_fused = True
+                pre_kw = {}
+                if self.fused_pre:
+                    pre_kw = dict(
+                        pre_kernel=wT, pre_bias=bT, pre_stride=u,
+                        pre_pad=(k - u) // 2,
+                    )
                 x = resblock_tower(
                     x, tuple(ws), tuple(bs),
                     kernel_sizes=tuple(h.resblock_kernel_sizes),
                     dilation_sizes=tuple(tuple(d) for d in h.resblock_dilation_sizes),
                     resblock=h.resblock,
-                    pre_kernel=wT, pre_bias=bT, pre_stride=u,
-                    pre_pad=(k - u) // 2,
+                    **pre_kw,
                     **post_kw,
                 )
                 ch = cout

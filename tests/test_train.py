@@ -110,7 +110,25 @@ def test_hificodec_sharded_step_matches_unsharded():
     (mutated in the D phase) and gradient-trained GRVQ codebooks. Uses a
     narrow width (encoder_base_channels=8) — the full-width sharded graph
     aborts inside XLA:CPU (virtual-device backend crash, not a framework
-    bug); the DP semantics are width-independent."""
+    bug); the DP semantics are width-independent.
+
+    Runs in a FRESH subprocess (same isolation as
+    test_sharded_step_matches_unsharded): once the suite grew past ~260
+    tests this compile started segfaulting in the XLA:CPU compilation-cache
+    read late in a long pytest process; it passes in any fresh process."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("ACT_HIFI_SHARDED_EQ_INNER") != "1":
+        env = {**os.environ, "ACT_HIFI_SHARDED_EQ_INNER": "1"}
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             __file__ + "::test_hificodec_sharded_step_matches_unsharded"],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1500:])
+        return
     cfg = HiFiCodecTrainConfig(
         model=HiFiCodecConfig(
             segment_size=3200, encoder_base_channels=8, upsample_initial_channel=128
