@@ -25,6 +25,11 @@ class VQVAE(nn.Module):
     norm: str = "weight_norm"  # "none" after utils.fold.fold_vqvae
     packed_conv: bool = False  # lanes-packed waveform-rate convs (ops/packed.py)
     fused_resblock: bool = False  # Pallas fused decode towers (ops/pallas/resblock.py)
+    # encoder-side fused chains are a separate opt-in: measured SLOWER than
+    # the lanes-packed encoder head (37.3 vs 34.3 ms/batch encode) because
+    # fusion forces an unpack relayout mid-pipeline and demotes ups_1 to a
+    # plain conv; the packed head is the encoder's fast path
+    fused_encoder: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -36,7 +41,7 @@ class VQVAE(nn.Module):
         h = self.config
         self.encoder = HiFiGANEncoder(
             config=h, norm=self.norm, packed_conv=self.packed_conv,
-            fused_resblock=self.fused_resblock,
+            fused_resblock=self.fused_encoder,
             dtype=self.dtype, precision=self.precision,
         )
         self.generator = HiFiGANGenerator(

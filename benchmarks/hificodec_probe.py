@@ -61,9 +61,10 @@ def main():
         # serving configuration: lanes-packed + weight-norm folded to plain
         # kernels (--fold_weight_norm in the CLIs; remove_weight_norm parity)
         ("packed_folded", True, True, False),
-        # fused Pallas resblock towers on the decode side (encode keeps the
-        # packed head)
-        ("fused", True, False, True),
+        # serving headline: fused Pallas towers on the decode side (encode
+        # keeps the packed head — fused_encoder measured slower, see
+        # models/hificodec.py) + folded weight norm
+        ("fused_folded", True, True, True),
     ):
         model = VQVAE(
             config=cfg, packed_conv=packed, fused_resblock=fused,

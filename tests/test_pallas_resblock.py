@@ -153,7 +153,10 @@ def test_vqvae_fused_tokens_and_decode_parity():
     wav = jax.random.normal(jax.random.PRNGKey(0), (2, 3200), jnp.float32) * 0.1
     ref_c = ref_o = None
     for fused, packed in ((False, False), (True, False), (True, True)):
-        m = VQVAE(config=cfg, fused_resblock=fused, packed_conv=packed)
+        m = VQVAE(
+            config=cfg, fused_resblock=fused, fused_encoder=fused,
+            packed_conv=packed,
+        )
         v = jax.jit(m.init)({"params": jax.random.PRNGKey(0)}, wav[:1, :640])
         codes = np.asarray(m.apply(v, wav, method=VQVAE.encode))
         out = np.asarray(m.apply(v, codes, method=VQVAE.decode))
