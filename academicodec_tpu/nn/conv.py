@@ -202,6 +202,11 @@ class ConvTranspose1d(nn.Module):
     padding: Tuple[int, int] = (0, 0)
     use_bias: bool = True
     norm: str = "none"
+    # phase-major ("sub-pixel") lowering when the padding is the symmetric
+    # (K - stride)/2 crop: full-lane stride-1 conv + free reshape instead of
+    # XLA's zero-stuffed lhs_dilation form (ops/conv.py
+    # conv_transpose1d_subpixel). Identical math, different lowering.
+    subpixel: bool = False
     kernel_init: Optional[Any] = None
     dtype: Dtype = jnp.float32
     precision: Any = None
@@ -262,6 +267,15 @@ class ConvTranspose1d(nn.Module):
             if bias is not None:
                 out = out + bias
             return out
+        if (
+            self.subpixel
+            and self.padding[0] == self.padding[1]
+            and 2 * self.padding[0] == self.kernel_size - self.stride
+        ):
+            return conv_ops.conv_transpose1d_subpixel(
+                x, kernel, bias, stride=self.stride, padding=self.padding,
+                precision=self.precision,
+            )
         return conv_ops.conv_transpose1d(
             x, kernel, bias, stride=self.stride, padding=self.padding, precision=self.precision
         )

@@ -459,6 +459,7 @@ class HiFiGANGenerator(nn.Module):
                 ups = ConvTranspose1d(
                     in_channels=cin, out_channels=cout, kernel_size=k,
                     stride=u, padding=((k - u) // 2,) * 2, norm=self.norm,
+                    subpixel=True,
                     kernel_init=hifigan_normal_init, dtype=self.dtype,
                     precision=self.precision, name=f"ups_{i}",
                 )
@@ -529,6 +530,7 @@ class HiFiGANGenerator(nn.Module):
                     stride=u,
                     padding=((k - u) // 2,) * 2,
                     norm=self.norm,
+                    subpixel=fused,  # phase-major lowering in serving mode
                     kernel_init=hifigan_normal_init,
                     dtype=self.dtype,
                     precision=self.precision,

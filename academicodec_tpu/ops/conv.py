@@ -82,6 +82,65 @@ def conv_transpose1d(
     return y
 
 
+def conv_transpose1d_subpixel(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    padding: Tuple[int, int] = (0, 0),
+    precision=None,
+) -> jnp.ndarray:
+    """Phase-major ("sub-pixel" / pixel-shuffle) transposed conv.
+
+    Numerically equivalent to :func:`conv_transpose1d` when
+    ``pad_lo == pad_hi == (K - stride) / 2`` (the HiFi-GAN upsample family,
+    reference models/hificodec/models.py:143-151) but lowered TPU-first:
+    one stride-1 conv producing ``[B, T, stride*Cout]`` — full MXU lanes
+    even for narrow ``Cout`` — followed by a row-major reshape to
+    ``[B, stride*T, Cout]``, which is a FREE contiguous reinterpretation
+    (``(q, r*Co+o) == (q*stride+r, o)``). The lhs-dilation lowering XLA
+    picks for the same op measured 0.1-12% of MXU peak on the decode
+    stages; this form reaches regular-conv efficiency.
+
+    Per output phase ``r``: ``y[u*q + r] = sum_m x[q - m] K[r + p + u*m]``;
+    the scattered kernel packs all phases' taps into one ``[taps, Cin,
+    u*Cout]`` weight (zero where a phase lacks a tap).
+    """
+    K, Ci, Co = kernel.shape
+    u = stride
+    p_lo, p_hi = padding
+    if u < 1 or p_lo != p_hi or 2 * p_lo != K - u:
+        raise ValueError(
+            f"subpixel convT requires pad_lo == pad_hi == (K - stride)/2; "
+            f"got K={K} stride={u} padding={padding}"
+        )
+    entries = [
+        (r, m, r + p_lo + u * m)
+        for r in range(u)
+        for m in range(-K, K + 1)
+        if 0 <= r + p_lo + u * m < K
+    ]
+    m_lo = min(m for _, m, _ in entries)
+    m_hi = max(m for _, m, _ in entries)
+    taps = m_hi - m_lo + 1
+    W = jnp.zeros((taps, Ci, u * Co), kernel.dtype)
+    for r, m, j in entries:
+        W = W.at[m_hi - m, :, r * Co : (r + 1) * Co].set(kernel[j])
+    y = lax.conv_general_dilated(
+        x,
+        W,
+        window_strides=(1,),
+        padding=((m_hi, -m_lo),),  # negative pad = crop (XLA-supported)
+        dimension_numbers=DN_1D,
+        precision=precision,
+    )
+    B, Tq, _ = y.shape
+    y = y.reshape(B, Tq * u, Co)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def conv2d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

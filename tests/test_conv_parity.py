@@ -179,3 +179,21 @@ def test_seanet_decoder_parity():
     mod = SEANetDecoder(n_filters=4, dimension=16, ratios=ratios)
     y = mod.apply({"params": params}, _to_jax_in(z))
     np.testing.assert_allclose(_from_jax_out(y), y_ref.numpy(), atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("k,u", [(4, 2), (8, 4), (11, 5), (16, 8), (3, 1)])
+def test_conv_transpose1d_subpixel_matches(k, u):
+    """Phase-major ("sub-pixel") convT lowering == the lhs-dilation form
+    for the HiFi-GAN symmetric-crop padding family (ops/conv.py)."""
+    from academicodec_tpu.ops.conv import conv_transpose1d, conv_transpose1d_subpixel
+
+    rng = np.random.default_rng(k * 100 + u)
+    B, T, Ci, Co = 2, 37, 6, 5
+    x = jnp.asarray(rng.standard_normal((B, T, Ci)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, Ci, Co)) * 0.2, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(Co) * 0.1, jnp.float32)
+    pad = ((k - u) // 2,) * 2
+    ref = conv_transpose1d(x, w, b, stride=u, padding=pad)
+    out = conv_transpose1d_subpixel(x, w, b, stride=u, padding=pad)
+    assert out.shape == ref.shape == (B, T * u, Co)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
