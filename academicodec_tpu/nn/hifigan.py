@@ -215,9 +215,13 @@ class GroupNormTorch(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, collect: bool = False):
         scale = self.param("scale", nn.initializers.ones, (self.channels,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.dtype)
+        if collect:
+            # declare the params but return them instead of computing — the
+            # weight source for the fused encoder bundle (resblock_tower_gn)
+            return scale, bias
         if isinstance(x, packed_ops.Packed):
             return packed_ops.group_norm_packed(
                 x, self.num_groups, scale, bias, self.epsilon
@@ -312,40 +316,63 @@ class HiFiGANEncoder(nn.Module):
             fuse_stage = self.fused_resblock and ch <= self.fused_max_channels
             if fuse_stage and isinstance(x, packed_ops.Packed):
                 x = packed_ops.unpack_t(x)  # fused chains run on plain layout
-            xs = None
-            for j in range(num_kernels):
-                rb = resblock_cls(
-                    channels=ch,
-                    kernel_size=rks[j],
-                    dilation=tuple(rds[j]),
-                    norm=self.norm,
-                    dtype=self.dtype,
-                    precision=self.precision,
-                    name=f"resblocks_{i * num_kernels + j}",
-                )
-                if fuse_stage:
-                    from academicodec_tpu.ops.pallas.resblock import resblock_tower
+            if fuse_stage:
+                # whole-bundle fusion: all chains + the interleaved
+                # accumulated-sum GroupNorms (reference models.py:405-416)
+                # via the moments-based two-pass lowering
+                from academicodec_tpu.ops.pallas.resblock import resblock_tower_gn
 
-                    ws, bs = rb(x, collect=True)
-                    r = resblock_tower(
-                        x, (ws,), (bs,),
-                        kernel_sizes=(rks[j],),
-                        dilation_sizes=(tuple(rds[j]),),
-                        resblock=h.resblock,
+                ws_all, bs_all, scs, gbs = [], [], [], []
+                for j in range(num_kernels):
+                    rb = resblock_cls(
+                        channels=ch, kernel_size=rks[j], dilation=tuple(rds[j]),
+                        norm=self.norm, dtype=self.dtype,
+                        precision=self.precision,
+                        name=f"resblocks_{i * num_kernels + j}",
                     )
-                else:
-                    r = rb(x)
-                # the reference normalizes the *accumulated* sum each step
-                # (models.py:410-415)
-                xs = r if xs is None else xs + r
-                xs = GroupNormTorch(
+                    ws, bs = rb(x, collect=True)
+                    ws_all.append(ws)
+                    bs_all.append(bs)
+                    sc, gb = GroupNormTorch(
+                        num_groups=ch // 16, channels=ch, epsilon=1e-6,
+                        dtype=self.dtype,
+                        name=f"normalize_{i * num_kernels + j}",
+                    )(x, collect=True)
+                    scs.append(sc)
+                    gbs.append(gb)
+                x = resblock_tower_gn(
+                    x, tuple(ws_all), tuple(bs_all),
+                    jnp.stack(scs), jnp.stack(gbs),
+                    kernel_sizes=tuple(rks),
+                    dilation_sizes=tuple(tuple(d) for d in rds),
+                    resblock=h.resblock,
                     num_groups=ch // 16,
-                    channels=ch,
                     epsilon=1e-6,
-                    dtype=self.dtype,
-                    name=f"normalize_{i * num_kernels + j}",
-                )(xs)
-            x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
+                )
+            else:
+                xs = None
+                for j in range(num_kernels):
+                    rb = resblock_cls(
+                        channels=ch,
+                        kernel_size=rks[j],
+                        dilation=tuple(rds[j]),
+                        norm=self.norm,
+                        dtype=self.dtype,
+                        precision=self.precision,
+                        name=f"resblocks_{i * num_kernels + j}",
+                    )
+                    r = rb(x)
+                    # the reference normalizes the *accumulated* sum each
+                    # step (models.py:410-415)
+                    xs = r if xs is None else xs + r
+                    xs = GroupNormTorch(
+                        num_groups=ch // 16,
+                        channels=ch,
+                        epsilon=1e-6,
+                        dtype=self.dtype,
+                        name=f"normalize_{i * num_kernels + j}",
+                    )(xs)
+                x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
         if isinstance(x, packed_ops.Packed):
             x = packed_ops.unpack_t(x)
         x = _lrelu(x, 0.01)  # default torch slope (models.py:417)

@@ -223,6 +223,103 @@ def _tower_kernel(
         o_ref[0] = y[:, H : H + TT].astype(o_ref.dtype)
 
 
+def _gn_tower_kernel(
+    # static
+    chains,
+    resblock: str,
+    C: int,
+    TT: int,
+    H: int,
+    T_real: int,
+    # refs
+    x_hbm,
+    *rest,
+):
+    """Encoder-bundle pass 1: all chains of the tower + per-channel moments.
+
+    Like ``_tower_kernel`` but emits each chain's output separately (the
+    encoder normalizes the ACCUMULATED sum between chains, reference
+    models.py:405-416, so the mean cannot be taken in-kernel) plus the
+    per-channel moment sums ``m_g = sum_t r_g`` and ``q_gh = sum_t r_g r_h``
+    the GroupNorm affines are derived from (see ``resblock_tower_gn``).
+    """
+    n_chains = len(chains)
+    w_refs = rest[:n_chains]
+    b_refs = rest[n_chains : 2 * n_chains]
+    rest = rest[2 * n_chains :]
+    o_refs = rest[:n_chains]  # each [1, C, TT]
+    mom_ref = rest[n_chains]  # [1, C, 128] f32, accumulated over time tiles
+    xt = rest[n_chains + 1]  # VMEM DMA scratch
+    sem = rest[n_chains + 2]
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    TW = TT + 2 * H
+
+    dma = pltpu.make_async_copy(x_hbm.at[i, :, pl.ds(j * TT, TW)], xt, sem)
+    dma.start()
+    dma.wait()
+
+    t0 = j * TT - H
+    tpos = t0 + jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+    valid = (tpos >= 0) & (tpos < T_real)
+
+    def lrelu(v):
+        f = v.astype(jnp.float32)
+        return jnp.where(f >= 0, f, LRELU_SLOPE * f).astype(v.dtype)
+
+    def conv(w, b, a, k, d):
+        col = _shift_cols(a, k, d)
+        y = (
+            jax.lax.dot_general(
+                w, col, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b
+        )
+        return jnp.where(valid, y, 0.0)
+
+    cdtype = xt.dtype
+    x0 = xt[:]
+    centers = []
+    for g, (k, conv_ds) in enumerate(chains):
+        w = w_refs[g]
+        b = b_refs[g]
+        cur = x0
+        if resblock == "1":
+            for p in range(0, len(conv_ds), 2):
+                a = lrelu(cur)
+                y1 = conv(w[p], b[p], a, k, conv_ds[p]).astype(cdtype)
+                y2 = conv(w[p + 1], b[p + 1], lrelu(y1), k, conv_ds[p + 1])
+                cur = (cur.astype(jnp.float32) + y2).astype(cdtype)
+        else:
+            for p in range(len(conv_ds)):
+                y = conv(w[p], b[p], lrelu(cur), k, conv_ds[p])
+                cur = (cur.astype(jnp.float32) + y).astype(cdtype)
+        o_refs[g][0] = cur[:, H : H + TT]
+        # moments from the SAME (storage-dtype) values that are written out,
+        # so pass 2's affine recombination sees consistent statistics
+        centers.append(cur[:, H : H + TT].astype(jnp.float32))
+
+    cols = [jnp.sum(c, axis=1, keepdims=True) for c in centers]  # m_g [C,1]
+    for g in range(n_chains):
+        for h in range(g, n_chains):
+            cols.append(
+                jnp.sum(centers[g] * centers[h], axis=1, keepdims=True)
+            )  # q_gh, order (0,0),(0,1),...,(1,1),...
+    tile_mom = jnp.concatenate(cols, axis=1)  # [C, n_mom]
+    n_mom = tile_mom.shape[1]
+    tile_mom = jnp.pad(tile_mom, ((0, 0), (0, 128 - n_mom)))
+
+    @pl.when(j == 0)
+    def _init():
+        mom_ref[0] = tile_mom
+
+    @pl.when(j > 0)
+    def _acc():
+        mom_ref[0] += tile_mom
+
+
 def _pick_tile(C: int, H: int, u: int = 1) -> int:
     """Time-tile size targeting ~8 MB of VMEM live data (multiple of the
     prologue's upsample factor so tiles stay phase-aligned)."""
@@ -401,4 +498,148 @@ def resblock_tower(
         ],
         interpret=interpret,
     )(xT, *w_ins, *b_ins, *extra_ins)
+    return jnp.swapaxes(out[:, :, :T], 1, 2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_sizes", "dilation_sizes", "resblock", "num_groups", "epsilon",
+        "interpret",
+    ),
+)
+def resblock_tower_gn(
+    x: jnp.ndarray,
+    weights: Tuple[Tuple[jnp.ndarray, ...], ...],
+    biases: Tuple[Tuple[jnp.ndarray, ...], ...],
+    gn_scales: jnp.ndarray,  # [n_chains, C]
+    gn_biases: jnp.ndarray,  # [n_chains, C]
+    *,
+    kernel_sizes: Tuple[int, ...],
+    dilation_sizes: Tuple[Tuple[int, ...], ...],
+    resblock: str = "1",
+    num_groups: int,
+    epsilon: float = 1e-6,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused encoder resblock bundle (reference models.py:405-416):
+
+        xs_0 = GN_0(r_0);  xs_g = GN_g(xs_{g-1} + r_g);  out = xs_last / G
+
+    where every chain ``r_g`` reads the SAME stage input ``x`` and each
+    GroupNorm normalizes the accumulated sum. A norm over the full time
+    axis cannot live inside a time-tiled kernel, but it does not have to:
+    GN is a per-channel affine once its group statistics are known, so the
+    accumulated pre-norm tensor at every step is an affine combination
+    ``sum_g coef_g[c] * r_g + const[c]`` whose statistics follow
+    ALGEBRAICALLY from the per-channel moments ``sum_t r_g`` and
+    ``sum_t r_g r_h``. Pass 1 (Pallas) computes all chains VMEM-resident
+    (one HBM read of x, G writes) plus those moments; pass 2 derives the
+    chained affines on [B, C] scalars and applies one fused elementwise
+    combination (G reads, one write) — 2(G+1) tensor passes total vs
+    ~3G(6+3) for the unfused lowering. Storage dtype bf16/f32 follows x;
+    statistics and recombination run in f32.
+    """
+    B, T, C = x.shape
+    G = len(kernel_sizes)
+    H = tower_halo(kernel_sizes, dilation_sizes, resblock)
+    H = -(-H // 64) * 64
+    # the G chain-output f32 tiles add to the VMEM live set: shrink the
+    # generator tower's tile budget accordingly
+    TT = _pick_tile(C, H)
+    while TT > 128 and (11 * C * (TT + 2 * H) * 2 + 5 * C * (TT + 2 * H) * 4
+                        + G * C * TT * 4) > 8 * 1024 * 1024:
+        TT //= 2
+    nT = -(-T // TT)
+    interpret = interpret or jax.default_backend() == "cpu"
+
+    chains = tuple(
+        (k, chain_conv_dilations(ds, resblock))
+        for k, ds in zip(kernel_sizes, dilation_sizes)
+    )
+    w_ins, b_ins = [], []
+    for g, (k, conv_ds) in enumerate(chains):
+        wg, bg = [], []
+        for i in range(len(conv_ds)):
+            kern = weights[g][i]
+            wg.append(jnp.transpose(kern, (2, 0, 1)).reshape(C, k * C))
+            bg.append(biases[g][i].reshape(C, 1))
+        w_ins.append(jnp.stack(wg).astype(x.dtype))
+        b_ins.append(jnp.stack(bg).astype(jnp.float32))
+
+    TW = TT + 2 * H
+    xT = jnp.swapaxes(x, 1, 2)
+    xT = jnp.pad(xT, ((0, 0), (0, 0), (H, nT * TT - T + H)))
+
+    kernel = functools.partial(_gn_tower_kernel, chains, resblock, C, TT, H, T)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B, nT),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * G),
+        out_specs=[
+            pl.BlockSpec((1, C, TT), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM)
+            for _ in range(G)
+        ]
+        + [
+            pl.BlockSpec((1, C, 128), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, C, nT * TT), x.dtype)] * G
+        + [jax.ShapeDtypeStruct((B, C, 128), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((C, TW), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xT, *w_ins, *b_ins)
+    rs, mom = outs[:G], outs[-1]  # rs: [B, C, nT*TT] each; mom: [B, C, 128]
+
+    # ---- pass 2: chained GroupNorm affines from the moments (f32) -------
+    m = [mom[:, :, g] for g in range(G)]  # each [B, C]
+    q = {}
+    col = G
+    for g in range(G):
+        for h in range(g, G):
+            q[(g, h)] = q[(h, g)] = mom[:, :, col]
+            col += 1
+
+    gsize = C // num_groups
+    N = float(gsize * T)
+
+    def gsum(v):  # [B, C] -> per-group sum broadcast back to [B, C]
+        s = v.reshape(B, num_groups, gsize).sum(axis=2, keepdims=True)
+        return jnp.broadcast_to(s, (B, num_groups, gsize)).reshape(B, C)
+
+    scales = gn_scales.astype(jnp.float32)
+    bn = gn_biases.astype(jnp.float32)
+    # running affine of the accumulated pre-norm tensor in the r_g basis:
+    #   y_g = sum_h A[h] * r_h + K
+    A = [jnp.zeros((B, C), jnp.float32) for _ in range(G)]
+    K = jnp.zeros((B, C), jnp.float32)
+    for g in range(G):
+        A[g] = A[g] + 1.0  # ... + r_g
+        # per-channel sum and sum-of-squares of y_g over time
+        S = K * T
+        for h in range(G):
+            S = S + A[h] * m[h]
+        Q = K * K * T
+        for h in range(G):
+            Q = Q + 2.0 * K * A[h] * m[h]
+            for l in range(G):
+                Q = Q + A[h] * A[l] * q[(h, l)]
+        mu = gsum(S) / N
+        var = gsum(Q) / N - mu * mu
+        a = scales[g] * jax.lax.rsqrt(var + epsilon)
+        b = bn[g] - mu * a
+        # xs_g = a * y_g + b
+        A = [a * Ah for Ah in A]
+        K = a * K + b
+
+    inv = 1.0 / float(G)
+    out = K[:, :, None] * inv
+    for g in range(G):
+        out = out + (A[g] * inv)[:, :, None] * rs[g].astype(jnp.float32)
+    out = out.astype(x.dtype)
     return jnp.swapaxes(out[:, :, :T], 1, 2)

@@ -185,3 +185,68 @@ def test_generator_fused_parity_and_tree():
     y0 = np.asarray(gen_p.apply(v, z))
     y1 = np.asarray(gen_f.apply(v, z))
     np.testing.assert_allclose(y1, y0, atol=1e-6)
+
+
+def _ref_gn_bundle(x, weights, biases, scs, gbs, ks, dss, num_groups, eps=1e-6):
+    """Unfused encoder bundle: xs_g = GN_g(xs_{g-1} + r_g), out = xs_last/G
+    (reference models.py:405-416 accumulated-sum normalization)."""
+    B, T, C = x.shape
+    xs = None
+    for g, (k, ds) in enumerate(zip(ks, dss)):
+        cur = x
+        for pi, d in enumerate(ds):
+            y1 = _conv(_lrelu(cur), weights[g][2 * pi], biases[g][2 * pi], d)
+            y2 = _conv(_lrelu(y1), weights[g][2 * pi + 1], biases[g][2 * pi + 1], 1)
+            cur = cur + y2
+        xs = cur if xs is None else xs + cur
+        xg = xs.reshape(B, T, num_groups, C // num_groups)
+        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+        xs = xg.reshape(B, T, C) * scs[g] + gbs[g]
+    return xs / len(ks)
+
+
+@pytest.mark.parametrize("T", [575, 1024])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gn_tower_matches_unfused(T, dtype):
+    """resblock_tower_gn == chains + interleaved accumulated-sum GroupNorms,
+    including the moments-derived statistics, at odd/junk-tail lengths."""
+    rng = np.random.default_rng(11)
+    ks, dss = (3, 7), ((1, 3), (1, 3))
+    C, G = 32, 2
+    weights, biases = _rand_tower(rng, ks, dss, C, 4)
+    scs = jnp.asarray(rng.standard_normal((G, C)) * 0.3 + 1.0, jnp.float32)
+    gbs = jnp.asarray(rng.standard_normal((G, C)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, T, C)) * 0.3, jnp.float32)
+
+    ref = _ref_gn_bundle(x, weights, biases, scs, gbs, ks, dss, num_groups=C // 16)
+    out = rb.resblock_tower_gn(
+        x.astype(dtype), weights, biases, scs, gbs,
+        kernel_sizes=ks, dilation_sizes=dss, resblock="1",
+        num_groups=C // 16, interpret=True,
+    )
+    assert out.shape == x.shape and out.dtype == dtype
+    atol = 3e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=atol
+    )
+
+
+def test_encoder_fused_bundle_parity_and_tree():
+    """Encoder fused_resblock: identical param tree, ~exact f32 output vs
+    the unfused accumulated-GroupNorm path."""
+    from academicodec_tpu.nn.hifigan import HiFiGANEncoder
+
+    cfg = HiFiCodecConfig(encoder_base_channels=16)
+    x = (jax.random.normal(jax.random.PRNGKey(0), (2, 3200, 1)) * 0.1).astype(
+        jnp.float32
+    )
+    enc_p = HiFiGANEncoder(config=cfg, dtype=jnp.float32)
+    enc_f = HiFiGANEncoder(config=cfg, dtype=jnp.float32, fused_resblock=True)
+    v = enc_p.init(jax.random.PRNGKey(1), x[:1, :640])
+    vf = enc_f.init(jax.random.PRNGKey(1), x[:1, :640])
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vf)
+    y0 = np.asarray(enc_p.apply(v, x))
+    y1 = np.asarray(enc_f.apply(v, x))
+    np.testing.assert_allclose(y1, y0, atol=5e-6)
