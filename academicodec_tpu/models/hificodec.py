@@ -25,10 +25,13 @@ class VQVAE(nn.Module):
     norm: str = "weight_norm"  # "none" after utils.fold.fold_vqvae
     packed_conv: bool = False  # lanes-packed waveform-rate convs (ops/packed.py)
     fused_resblock: bool = False  # Pallas fused decode towers (ops/pallas/resblock.py)
-    # encoder-side fused chains are a separate opt-in: measured SLOWER than
-    # the lanes-packed encoder head (37.3 vs 34.3 ms/batch encode) because
-    # fusion forces an unpack relayout mid-pipeline and demotes ups_1 to a
-    # plain conv; the packed head is the encoder's fast path
+    # encoder-side fused bundles (resblock_tower_gn: whole-stage chains +
+    # the interleaved accumulated-sum GroupNorms via the moments lowering)
+    # are a separate opt-in: measured 35.5 ms encode vs 34.2 for the
+    # lanes-packed head (benchmarks/hificodec_probe.py fused_enc_folded) —
+    # fusion unpacks the packed head at the fused stage and demotes ups_1
+    # to a plain conv, and that relayout eats the GroupNorm-pass saving.
+    # The packed head stays the encoder fast path.
     fused_encoder: bool = False
     dtype: Any = jnp.float32
     precision: Any = None

@@ -55,19 +55,20 @@ def main():
     )
 
     results = {}
-    for key, packed, fold, fused in (
-        ("plain", False, False, False),
-        ("packed", True, False, False),
+    for key, packed, fold, fused, fused_enc in (
+        ("plain", False, False, False, False),
+        ("packed", True, False, False, False),
         # serving configuration: lanes-packed + weight-norm folded to plain
         # kernels (--fold_weight_norm in the CLIs; remove_weight_norm parity)
-        ("packed_folded", True, True, False),
-        # serving headline: fused Pallas towers on the decode side (encode
-        # keeps the packed head — fused_encoder measured slower, see
-        # models/hificodec.py) + folded weight norm
-        ("fused_folded", True, True, True),
+        ("packed_folded", True, True, False, False),
+        # fused Pallas towers on the decode side + folded weight norm
+        ("fused_folded", True, True, True, False),
+        # + the moments-based GN-fused encoder bundle (resblock_tower_gn)
+        ("fused_enc_folded", True, True, True, True),
     ):
         model = VQVAE(
             config=cfg, packed_conv=packed, fused_resblock=fused,
+            fused_encoder=fused_enc,
             dtype=jnp.bfloat16,
         )
         variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, wav[:1, :sr])

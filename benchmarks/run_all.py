@@ -144,9 +144,18 @@ def bench_hificodec(results):
     from academicodec_tpu.nn.hifigan import HiFiCodecConfig
 
     rng = jax.random.PRNGKey(0)
-    model = VQVAE(config=HiFiCodecConfig(), dtype=jnp.bfloat16, packed_conv=True)
+    # serving headline config: lanes-packed encode + fused Pallas resblock
+    # towers on decode + folded weight norm (matches benchmarks/hificodec_probe.py
+    # "fused_folded" and the BENCHMARKS.md row)
+    model = VQVAE(
+        config=HiFiCodecConfig(), dtype=jnp.bfloat16, packed_conv=True,
+        fused_resblock=True,
+    )
     wav = (jax.random.normal(rng, (8, 240000)) * 0.1).astype(jnp.bfloat16)
     variables = jax.jit(model.init)({"params": rng}, wav[:1, :24000])
+    from academicodec_tpu.utils.fold import fold_vqvae
+
+    model, variables = fold_vqvae(model, variables)
     encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
     decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
     codes = encode(variables, wav)
