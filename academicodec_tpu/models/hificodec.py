@@ -27,11 +27,12 @@ class VQVAE(nn.Module):
     fused_resblock: bool = False  # Pallas fused decode towers (ops/pallas/resblock.py)
     # encoder-side fused bundles (resblock_tower_gn: whole-stage chains +
     # the interleaved accumulated-sum GroupNorms via the moments lowering)
-    # are a separate opt-in: measured 35.5 ms encode vs 34.2 for the
-    # lanes-packed head (benchmarks/hificodec_probe.py fused_enc_folded) —
-    # fusion unpacks the packed head at the fused stage and demotes ups_1
-    # to a plain conv, and that relayout eats the GroupNorm-pass saving.
-    # The packed head stays the encoder fast path.
+    # are a separate opt-in: the tower wins isolated (21.8 -> 16.0 ms on
+    # the s0 bundle) but loses end-to-end in every wiring (35.2-35.5 ms
+    # encode vs 34.2 packed) — the Pallas call is a scheduling barrier
+    # that forfeits more XLA cross-segment overlap than it saves, plus
+    # the head-unpack relayout. See BENCHMARKS.md "Where the encode time
+    # is". The lanes-packed head stays the encoder fast path.
     fused_encoder: bool = False
     dtype: Any = jnp.float32
     precision: Any = None
