@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
@@ -31,6 +31,12 @@ class LMTrainConfig:
     past_context: int = 1000
     lr: float = 3e-4
     betas: Tuple[float, float] = (0.9, 0.95)
+    # total steps for warmup+cosine lr decay; None = constant lr. A decayed
+    # tail settles the final bits-per-token (the number that bounds the
+    # achievable compressed bitrate) instead of leaving it bouncing at a
+    # constant-lr noise floor.
+    decay_steps: Optional[int] = None
+    warmup_steps: int = 100
 
 
 @flax.struct.dataclass
@@ -51,7 +57,18 @@ class LMTrainer:
             num_layers=config.num_layers,
             past_context=config.past_context,
         )
-        self.tx = optax.adam(config.lr, b1=config.betas[0], b2=config.betas[1])
+        if config.decay_steps is not None:
+            warmup = min(config.warmup_steps, config.decay_steps // 10)
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0,
+                peak_value=config.lr,
+                warmup_steps=warmup,
+                decay_steps=config.decay_steps,
+                end_value=0.05 * config.lr,
+            )
+        else:
+            lr = config.lr
+        self.tx = optax.adam(lr, b1=config.betas[0], b2=config.betas[1])
 
     def init_state(self, rng: jax.Array, example_codes: jnp.ndarray) -> LMTrainState:
         variables = self.model.init(rng, example_codes)

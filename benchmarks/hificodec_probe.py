@@ -11,6 +11,7 @@ Usage: PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/hificodec_prob
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -41,31 +42,42 @@ def bench(fn, *args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+CONFIGS = {
+    "plain": (False, False, False, False),
+    "packed": (True, False, False, False),
+    # serving configuration: lanes-packed + weight-norm folded to plain
+    # kernels (--fold_weight_norm in the CLIs; remove_weight_norm parity)
+    "packed_folded": (True, True, False, False),
+    # fused Pallas towers on the decode side + folded weight norm
+    "fused_folded": (True, True, True, False),
+    # + the moments-based GN-fused encoder bundle (resblock_tower_gn)
+    "fused_enc_folded": (True, True, True, True),
+}
+
+
 def main():
+    p = argparse.ArgumentParser("hificodec_probe")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seconds", type=int, default=10)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--configs", type=str, default=",".join(CONFIGS),
+                   help="comma-separated subset of: " + ",".join(CONFIGS))
+    args = p.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
     except Exception:
         pass
 
-    batch, seconds, sr = 8, 10, 24000
+    batch, seconds, sr = args.batch, args.seconds, 24000
     cfg = HiFiCodecConfig()  # 24k_320d
     wav = (jax.random.normal(jax.random.PRNGKey(0), (batch, seconds * sr)) * 0.1).astype(
         jnp.bfloat16
     )
 
-    results = {}
-    for key, packed, fold, fused, fused_enc in (
-        ("plain", False, False, False, False),
-        ("packed", True, False, False, False),
-        # serving configuration: lanes-packed + weight-norm folded to plain
-        # kernels (--fold_weight_norm in the CLIs; remove_weight_norm parity)
-        ("packed_folded", True, True, False, False),
-        # fused Pallas towers on the decode side + folded weight norm
-        ("fused_folded", True, True, True, False),
-        # + the moments-based GN-fused encoder bundle (resblock_tower_gn)
-        ("fused_enc_folded", True, True, True, True),
-    ):
+    results = {"batch": batch, "seconds": seconds}
+    for key in args.configs.split(","):
+        packed, fold, fused, fused_enc = CONFIGS[key]
         model = VQVAE(
             config=cfg, packed_conv=packed, fused_resblock=fused,
             fused_encoder=fused_enc,
@@ -81,8 +93,8 @@ def main():
         decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
 
         codes = encode(variables, wav)
-        t_enc = bench(encode, variables, wav)
-        t_dec = bench(decode, variables, codes)
+        t_enc = bench(encode, variables, wav, iters=args.iters)
+        t_dec = bench(decode, variables, codes, iters=args.iters)
         results[f"{key}_encode_ms"] = round(t_enc * 1e3, 2)
         results[f"{key}_decode_ms"] = round(t_dec * 1e3, 2)
         results[f"{key}_roundtrip_rt"] = round(
@@ -90,12 +102,13 @@ def main():
         )
         results[f"{key}_encode_rt"] = round(batch * seconds / t_enc, 1)
 
-    results["speedup_encode"] = round(
-        results["plain_encode_ms"] / results["packed_encode_ms"], 2
-    )
-    results["speedup_decode"] = round(
-        results["plain_decode_ms"] / results["packed_decode_ms"], 2
-    )
+    if "plain_encode_ms" in results and "packed_encode_ms" in results:
+        results["speedup_encode"] = round(
+            results["plain_encode_ms"] / results["packed_encode_ms"], 2
+        )
+        results["speedup_decode"] = round(
+            results["plain_decode_ms"] / results["packed_decode_ms"], 2
+        )
     print(json.dumps(results))
 
 

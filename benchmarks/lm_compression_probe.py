@@ -10,7 +10,9 @@ the number BENCHMARKS.md's "LM compression" row cites. Pipeline:
    structure the LM can exploit; a random codec's near-uniform tokens
    would show no win),
 2. train ``RVQTokenLM`` (reference-paper scale: dim 200, 5 layers) teacher
-   forced on that codec's token streams,
+   forced on that codec's token streams — at crops AT LEAST as long as the
+   streams to be compressed (sinusoidal positions / attention context seen
+   in training bound the in-distribution stream length),
 3. compress held-out streams both ways — raw bit packing
    (``codec/compress.compress_codes``, 10 bits/code) and LM + arithmetic
    coding (``codec/lm_compress``) — and verify the LM files decode back
@@ -54,9 +56,21 @@ def main():
     p.add_argument("--target_bw", type=float, default=3.0,
                    help="3 kbps raw = 3 codebooks at 100 Hz frame rate")
     p.add_argument("--lm_steps", type=int, default=3000)
-    p.add_argument("--lm_batch", type=int, default=32)
+    p.add_argument("--lm_batch", type=int, default=8)
+    p.add_argument("--cache_batches", type=int, default=100,
+                   help="token batches pre-encoded once and cycled during LM "
+                   "training; host synthesis+encode per step would otherwise "
+                   "dominate wall time on a 1-core host (held-out streams "
+                   "below always use fresh draws)")
     p.add_argument("--streams", type=int, default=3)
     p.add_argument("--stream_seconds", type=float, default=5.0)
+    p.add_argument("--train_seconds", type=float, default=None,
+                   help="LM training crop length; default = stream_seconds. "
+                   "MUST cover the compressed stream length: the trunk's "
+                   "sinusoidal positions and attention context are only "
+                   "in-distribution up to the trained length (a 1 s-crop LM "
+                   "coded 5 s held-out streams at 11.0 bits/token vs 5.4 "
+                   "train — worse than the 10-bit raw packing)")
     args = p.parse_args()
 
     try:
@@ -81,18 +95,24 @@ def main():
     )
 
     # ---- LM training on the frozen codec's token streams ----------------
-    lm_trainer = LMTrainer(LMTrainConfig(n_q=n_q, bins=model.bins))
+    lm_trainer = LMTrainer(
+        LMTrainConfig(n_q=n_q, bins=model.bins, decay_steps=args.lm_steps)
+    )
     rng = np.random.default_rng(7)
-    seg = sr  # 1 s crops
-    wav = jnp.asarray(speechlike_batch(rng, args.lm_batch, seg, sr))
-    codes0 = jnp.transpose(encode(variables, wav), (1, 2, 0)).astype(jnp.int32)
-    state = lm_trainer.init_state(jax.random.PRNGKey(0), codes0)
+    seg = int((args.train_seconds or args.stream_seconds) * sr)
+    cache = []
+    for _ in range(args.cache_batches):
+        wav = jnp.asarray(speechlike_batch(rng, args.lm_batch, seg, sr))
+        cache.append(
+            jnp.transpose(encode(variables, wav), (1, 2, 0)).astype(jnp.int32)
+        )
+    state = lm_trainer.init_state(jax.random.PRNGKey(0), cache[0])
+    order = np.random.default_rng(11)
 
     t0 = time.perf_counter()
     bpt = None
     for step in range(1, args.lm_steps + 1):
-        wav = jnp.asarray(speechlike_batch(rng, args.lm_batch, seg, sr))
-        codes = jnp.transpose(encode(variables, wav), (1, 2, 0)).astype(jnp.int32)
+        codes = cache[order.integers(len(cache))]
         state, metrics = lm_trainer.train_step(state, codes)
         if step % 200 == 0 or step == args.lm_steps:
             bpt = float(np.asarray(metrics["bits_per_token"]))
@@ -132,6 +152,7 @@ def main():
         "train_bits_per_token": round(bpt, 3),
         "n_q": n_q,
         "lm_steps": args.lm_steps,
+        "train_seconds": args.train_seconds or args.stream_seconds,
         "lm_train_min": round(t_train / 60, 1),
         "roundtrip_exact": True,
     }
