@@ -15,6 +15,24 @@ import os
 import sys
 
 
+def _rendezvous(name: str) -> None:
+    """Align both processes on the coordination-service barrier (gRPC,
+    explicit timeout — no Gloo). Gloo's first-collective rendezvous has a
+    hard ~30 s key-value timeout, so every *first* collective of a clique
+    must be reached by all processes within that window; XLA compile skew
+    on a loaded (or single-core) host easily exceeds it. Call this right
+    before any such point."""
+    try:
+        # private API (jax._src); guarded so a jax upgrade degrades to a
+        # direct execute (risking only the Gloo-rendezvous flake this
+        # barrier papers over) instead of breaking the test opaquely
+        from jax._src import distributed as _jdist
+
+        _jdist.global_state.client.wait_at_barrier(name, timeout_in_ms=1_200_000)
+    except Exception as e:  # pragma: no cover - jax-version dependent
+        print(f"barrier unavailable ({e!r}); proceeding directly", flush=True)
+
+
 def main() -> None:
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 
@@ -85,30 +103,23 @@ def main() -> None:
     local = (local_rows[:, None] / 10.0 * np.ones((1, 3200))).astype(np.float32)
 
     state = trainer.init_state(rng, np.zeros((global_bs, 3200), np.float32))
+    # replicate()'s device_put to a multi-process sharding runs an internal
+    # multihost_utils.assert_equal -> process allgather: the FIRST Gloo
+    # collective of the run, reached skewed by the init_state compile above
+    # (observed blowing the 30 s window on a 1-core host). Realign first.
+    _rendezvous("state_initialized")
     state = replicate(state, mesh)
     sharded = shard_batch(local, mesh)
     assert sharded.shape == (global_bs, 3200), sharded.shape
 
-    # The first collective's Gloo rendezvous has a hard ~30 s KV timeout, and
-    # XLA compile times for the step easily skew across the two workers by
-    # more than that (cold cache, suite CPU contention). So: AOT-compile the
-    # step WITHOUT executing it, rendezvous on the coordination-service
-    # barrier (gRPC, explicit timeout — no Gloo), and only then execute: both
-    # processes hit the Gloo rendezvous within milliseconds of each other.
-    # (unbound form: .lower bypasses the bound-method descriptor, so the
-    # static self argument is passed explicitly)
+    # The step's psums span the 4-device clique (a different Gloo context
+    # from the 2-process allgather above, so a fresh rendezvous): AOT-compile
+    # WITHOUT executing, realign, and only then execute — both processes hit
+    # the Gloo init within milliseconds of each other. (unbound form: .lower
+    # bypasses the bound-method descriptor, so the static self argument is
+    # passed explicitly)
     compiled = type(trainer).train_step.lower(trainer, state, sharded).compile()
-    try:
-        # private API (jax._src); guarded so a jax upgrade degrades to a
-        # direct execute (risking only the Gloo-rendezvous flake this
-        # barrier papers over) instead of breaking the test opaquely
-        from jax._src import distributed as _jdist
-
-        _jdist.global_state.client.wait_at_barrier(
-            "step_compiled", timeout_in_ms=1_200_000
-        )
-    except Exception as e:  # pragma: no cover - jax-version dependent
-        print(f"barrier unavailable ({e!r}); executing directly", flush=True)
+    _rendezvous("step_compiled")
     state, metrics = compiled(state, sharded)
     loss = float(np.asarray(metrics["loss_g"]))
     assert np.isfinite(loss), metrics
