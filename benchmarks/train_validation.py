@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from academicodec_tpu.eval.metrics import mel_distance, si_snr, stoi_score
+from academicodec_tpu.eval.metrics import (
+    mel_distance,
+    pesq_score,
+    si_snr,
+    stoi_score,
+)
 
 
 def speechlike_batch(rng: np.random.Generator, batch: int, n: int, sr: int) -> np.ndarray:
@@ -58,6 +63,10 @@ def main():
     p.add_argument("--save_path", type=str, default=None,
                    help="directory to save the final generator checkpoint "
                         "(consumed by benchmarks/lm_compression_probe.py)")
+    p.add_argument("--eval_ckpt", type=str, default=None,
+                   help="post-hoc mode: evaluate a --save_path checkpoint "
+                        "on the held-out batch (random-init row first, then "
+                        "the checkpoint row) and exit without training")
     args = p.parse_args()
 
     try:
@@ -126,6 +135,16 @@ def main():
             )
         except ValueError:
             row["stoi"] = float("nan")
+        try:
+            # the reference's acceptance metric (compute_pesq.py:11-32);
+            # native P.862.2 wideband, resample-to-16k convention
+            row["pesq_wb"] = round(
+                float(np.mean(
+                    [pesq_score(rec[i], held_out[i], sr)["pesq_wb"] for i in range(4)]
+                )), 3
+            )
+        except Exception:
+            row["pesq_wb"] = float("nan")
         return row
 
     history = []
@@ -134,6 +153,18 @@ def main():
     m0["step"] = 0
     history.append(m0)
     print(json.dumps(m0), flush=True)
+
+    if args.eval_ckpt:
+        from academicodec_tpu.utils.checkpoint import load_checkpoint
+
+        payload = load_checkpoint(args.eval_ckpt)
+        state = state.replace(
+            g_params=payload["g_params"], g_extra=payload["g_extra"]
+        )
+        row = eval_metrics(state)
+        row["step"] = "ckpt:" + args.eval_ckpt.rsplit("_", 1)[-1]
+        print(json.dumps(row), flush=True)
+        return
 
     t_step = None
     for step in range(1, args.steps + 1):
