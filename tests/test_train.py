@@ -68,7 +68,7 @@ def test_encodec_train_step_sharded():
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", "-x",
              __file__ + "::test_encodec_train_step_sharded"],
-            env=env, capture_output=True, text=True, timeout=1500,
+            env=env, capture_output=True, text=True, timeout=3000,
         )
         assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1500:])
         return
@@ -146,7 +146,7 @@ def test_hificodec_sharded_step_matches_unsharded():
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", "-x",
              __file__ + "::test_hificodec_sharded_step_matches_unsharded"],
-            env=env, capture_output=True, text=True, timeout=1500,
+            env=env, capture_output=True, text=True, timeout=3000,
         )
         assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1500:])
         return
@@ -267,7 +267,7 @@ def test_sharded_step_matches_unsharded():
         r = subprocess.run(
             [sys.executable, "-m", "pytest", "-q", "-x",
              __file__ + "::test_sharded_step_matches_unsharded"],
-            env=env, capture_output=True, text=True, timeout=1500,
+            env=env, capture_output=True, text=True, timeout=3000,
         )
         assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1500:])
         return
