@@ -99,18 +99,34 @@ def main():
     )
     variables = load_model_variables(args.resume_path, model)
     lm = lm_vars = None
+    lm_trained_frames = None
     if args.lm:
         from academicodec_tpu.cli.train_lm import load_lm
 
-        lm, lm_vars = load_lm(args.lm)
+        lm, lm_vars, lm_meta = load_lm(args.lm)
+        lm_trained_frames = lm_meta.get("trained_frames")
     compressor = SoundStreamCompressor(
         model, variables, target_bw=args.target_bw, lm=lm, lm_variables=lm_vars
     )
 
     os.makedirs(args.output, exist_ok=True)
     names = sorted(f for f in os.listdir(args.input) if f.endswith(".wav"))
+    hop = int(np.prod(args.ratios))
+    warned_lm_len = False
     for name in names:
         wav, _ = read_wav(os.path.join(args.input, name), sr=args.sr)
+        frames = -(-len(wav) // hop)
+        if (lm_trained_frames and frames > lm_trained_frames
+                and not warned_lm_len):
+            warned_lm_len = True
+            print(
+                f"WARNING: {name} is {frames} frames but the LM was trained "
+                f"on {lm_trained_frames}-frame crops; positions/context "
+                "beyond the trained length are out of distribution and the "
+                "coded rate degrades (can exceed raw bit packing). Retrain "
+                "with --segment_seconds covering your files.",
+                file=sys.stderr,
+            )
         blob = compressor.compress(wav)
         if args.ecdc:
             with open(os.path.join(args.output, name[:-4] + ".ecdc"), "wb") as fh:

@@ -72,11 +72,18 @@ def get_args():
     return p.parse_args()
 
 
-def lm_config_dict(cfg: LMTrainConfig) -> dict:
-    return dict(
+def lm_config_dict(cfg: LMTrainConfig, trained_frames: int | None = None) -> dict:
+    out = dict(
         n_q=cfg.n_q, bins=cfg.bins, dim=cfg.dim, num_heads=cfg.num_heads,
         num_layers=cfg.num_layers, past_context=cfg.past_context,
     )
+    if trained_frames is not None:
+        # not a model-constructor arg (load_lm pops it): records the stream
+        # length the LM is in-distribution for — positions/context beyond it
+        # degrade the coded rate (measured: a 1 s-crop LM codes 5 s streams
+        # at 11.0 bits/token vs 5.4 train, worse than 10-bit raw packing)
+        out["trained_frames"] = int(trained_frames)
+    return out
 
 
 def main():
@@ -97,8 +104,11 @@ def main():
     )
 
     # n_q at this bandwidth (vq.py:88-96 formula, already baked into encode)
+    # + frames per training segment (recorded in lm_config.json so
+    # cli/compress.py --lm can warn on out-of-distribution stream lengths)
     probe = np.zeros((1, int(args.segment_seconds * args.sr)), np.float32)
-    n_q = int(np.asarray(encode(codec_vars, probe)).shape[0])
+    probe_codes = np.asarray(encode(codec_vars, probe))  # [n_q, 1, T']
+    n_q, trained_frames = int(probe_codes.shape[0]), int(probe_codes.shape[2])
 
     cfg = LMTrainConfig(
         n_q=n_q, bins=args.bins, dim=args.lm_dim, num_heads=args.lm_heads,
@@ -109,7 +119,7 @@ def main():
     logger = Logger(args.path, args=vars(args))
     os.makedirs(args.path, exist_ok=True)
     with open(os.path.join(args.path, "lm_config.json"), "w") as fh:
-        json.dump(lm_config_dict(cfg), fh)
+        json.dump(lm_config_dict(cfg, trained_frames=trained_frames), fh)
 
     segment = int(args.segment_seconds * args.sr)
     ds = WavCropDataset(args.train_data_path, segment, sample_rate=args.sr, seed=args.seed)
@@ -143,8 +153,10 @@ def main():
 
 
 def load_lm(path: str):
-    """Rebuild (lm, variables) from a ``train_lm`` checkpoint directory
-    (or a direct ``lm_<step>`` path inside one)."""
+    """Rebuild ``(lm, variables, meta)`` from a ``train_lm`` checkpoint
+    directory (or a direct ``lm_<step>`` path inside one). ``meta`` carries
+    the non-constructor keys of lm_config.json (e.g. ``trained_frames``);
+    absent keys are simply missing from the dict (older checkpoints)."""
     from academicodec_tpu.models.lm import RVQTokenLM
     from academicodec_tpu.utils.checkpoint import load_checkpoint, scan_checkpoint
 
@@ -158,9 +170,10 @@ def load_lm(path: str):
             raise FileNotFoundError(f"no lm_* checkpoint under {path}")
     with open(os.path.join(directory, "lm_config.json")) as fh:
         cfg = json.load(fh)
+    meta = {k: cfg.pop(k) for k in ("trained_frames",) if k in cfg}
     lm = RVQTokenLM(**cfg)
     variables = load_checkpoint(ckpt)
-    return lm, variables
+    return lm, variables, meta
 
 
 if __name__ == "__main__":

@@ -98,7 +98,9 @@ def test_train_lm_then_compress_with_lm(tmp_path, monkeypatch):
     from academicodec_tpu.cli.train_lm import load_lm
     from academicodec_tpu.codec.compress import SoundStreamCompressor
 
-    lm, lm_vars = load_lm(lm_dir)
+    lm, lm_vars, lm_meta = load_lm(lm_dir)
+    # 0.2 s crops at hop 320 = 10 frames, recorded for the length warning
+    assert lm_meta.get("trained_frames") == 10, lm_meta
     variables2 = compress_cli.load_model_variables(codec_ckpt, model)
     comp = SoundStreamCompressor(model, variables2, target_bw=2,
                                  lm=lm, lm_variables=lm_vars)
