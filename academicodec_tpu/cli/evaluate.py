@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 
 import numpy as np
@@ -49,9 +50,20 @@ def main():
         note = f"  (skipped {skipped[k]}/{len(rows)} files)" if skipped[k] else ""
         print(f"{k}: {v:.4f}{note}")
     if args.json_out:
+        def _j(x):
+            # NaN (skipped metric) -> null: bare NaN tokens are not valid
+            # JSON and break strict parsers (jq, JSON.parse)
+            if isinstance(x, dict):
+                return {k: _j(v) for k, v in x.items()}
+            if isinstance(x, list):
+                return [_j(v) for v in x]
+            if isinstance(x, float) and not math.isfinite(x):
+                return None
+            return x
+
         with open(args.json_out, "w") as fh:
-            json.dump({"mean": mean, "skipped": skipped, "per_file": rows}, fh,
-                      indent=2)
+            json.dump(_j({"mean": mean, "skipped": skipped, "per_file": rows}),
+                      fh, indent=2)
 
 
 if __name__ == "__main__":

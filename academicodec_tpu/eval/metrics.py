@@ -76,6 +76,12 @@ def pesq_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> Dict[str, float]:
         out["pesq_wb_ext"] = float(ext_pesq(16000, ref[:n], deg[:n], "wb"))
     except ImportError:
         pass
+    except Exception:
+        # the package's runtime errors (NoUtterancesError etc., not
+        # ValueError) must not abort an evaluation whose native scores
+        # above already succeeded — the cross-check is best-effort
+        out["pesq_nb_ext"] = float("nan")
+        out["pesq_wb_ext"] = float("nan")
     return out
 
 

@@ -238,7 +238,7 @@ def _utterances(ref: np.ndarray, fs: int, block: int) -> List[Tuple[int, int]]:
 
 def _fine_align(
     ref: np.ndarray, deg: np.ndarray, start: int, stop: int,
-    crude: int, align_nfft: int, search: int,
+    crude: int, align_nfft: int,
 ) -> Tuple[int, float]:
     """Per-utterance delay from framewise cross-correlation. Both frames
     are EQUAL-length and Hann-windowed at corresponding positions (ref at
@@ -289,7 +289,9 @@ def time_align(
     crude = int(np.clip(crude, -search, search))
     out = []
     for (s, e) in _utterances(ref, fs, block):
-        d, conf = _fine_align(ref, deg, s, e, crude, cfg["align_nfft"], search)
+        # (the residual-lag search inside is bounded by align_nfft/2; the
+        # ±search clamp is applied to the result below)
+        d, conf = _fine_align(ref, deg, s, e, crude, cfg["align_nfft"])
         if conf <= 1.5:  # flat histogram: keep the crude estimate
             d = crude
         out.append((s, e, int(np.clip(d, -search, search))))

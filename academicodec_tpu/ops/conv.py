@@ -82,6 +82,29 @@ def conv_transpose1d(
     return y
 
 
+def convt_phase_taps(k: int, u: int, pad: int):
+    """Static tap placement for phase-major transposed-conv lowerings.
+
+    Output ``y[u*q + r] = sum_m x[q - m] K[r + pad + u*m]`` over the ``m``
+    with ``0 <= r + pad + u*m < k``. Returns ``(m_min, m_max, per-phase
+    ((m, j), ...))``. Single source of truth for this index derivation —
+    consumed by :func:`conv_transpose1d_subpixel` (XLA lowering) and the
+    Pallas resblock tower's convT prologue (ops/pallas/resblock.py).
+    """
+    phases = []
+    m_lo, m_hi = 10**9, -(10**9)
+    for r in range(u):
+        taps = []
+        for m in range(-k, k + 1):
+            j = r + pad + u * m
+            if 0 <= j < k:
+                taps.append((m, j))
+                m_lo = min(m_lo, m)
+                m_hi = max(m_hi, m)
+        phases.append(tuple(taps))
+    return m_lo, m_hi, tuple(phases)
+
+
 def conv_transpose1d_subpixel(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -114,18 +137,12 @@ def conv_transpose1d_subpixel(
             f"subpixel convT requires pad_lo == pad_hi == (K - stride)/2; "
             f"got K={K} stride={u} padding={padding}"
         )
-    entries = [
-        (r, m, r + p_lo + u * m)
-        for r in range(u)
-        for m in range(-K, K + 1)
-        if 0 <= r + p_lo + u * m < K
-    ]
-    m_lo = min(m for _, m, _ in entries)
-    m_hi = max(m for _, m, _ in entries)
+    m_lo, m_hi, phases = convt_phase_taps(K, u, p_lo)
     taps = m_hi - m_lo + 1
     W = jnp.zeros((taps, Ci, u * Co), kernel.dtype)
-    for r, m, j in entries:
-        W = W.at[m_hi - m, :, r * Co : (r + 1) * Co].set(kernel[j])
+    for r, phase in enumerate(phases):
+        for m, j in phase:
+            W = W.at[m_hi - m, :, r * Co : (r + 1) * Co].set(kernel[j])
     y = lax.conv_general_dilated(
         x,
         W,

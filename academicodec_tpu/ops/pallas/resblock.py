@@ -35,6 +35,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# static tap placement for the phase-major transposed conv — shared with
+# the XLA subpixel lowering (single source of truth for the derivation)
+from academicodec_tpu.ops.conv import convt_phase_taps as _convt_phase_taps
+
 LRELU_SLOPE = 0.1
 
 # one chain entry: (kernel_size, (d0, d1, ...)) -> convs in call order are
@@ -339,24 +343,6 @@ def _pick_tile(C: int, H: int, u: int = 1) -> int:
     return step
 
 
-def _convt_phase_taps(k: int, u: int, pad: int):
-    """Static tap placement for the phase-major transposed conv.
-
-    Output ``y[u*q + r] = sum_m x[q - m] K[r + pad + u*m]`` over the ``m``
-    with ``0 <= r + pad + u*m < k``. Returns (m_min, m_max, per-phase
-    ((m, j), ...)).
-    """
-    phases = []
-    m_lo, m_hi = 10**9, -(10**9)
-    for r in range(u):
-        taps = []
-        ms = [m for m in range(-k, k + 1) if 0 <= r + pad + u * m < k]
-        for m in ms:
-            taps.append((m, r + pad + u * m))
-            m_lo = min(m_lo, m)
-            m_hi = max(m_hi, m)
-        phases.append(tuple(taps))
-    return m_lo, m_hi, tuple(phases)
 
 
 @functools.partial(

@@ -1,0 +1,53 @@
+"""Evaluate-CLI surface: metric aggregation, skip disclosure, strict JSON.
+
+Reference counterpart: evaluation_metric/calculate_voc_obj_metrics/
+(compute_pesq.py:11-32, compute_stoi.py:12-27, compute_metrics.sh driver).
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+from academicodec_tpu.data.wavio import write_wav
+
+
+def test_evaluate_cli_json_out_is_strict_json(tmp_path, monkeypatch):
+    from academicodec_tpu.cli import evaluate as evaluate_cli
+
+    sr = 16000
+    ref_dir, deg_dir = tmp_path / "ref", tmp_path / "deg"
+    ref_dir.mkdir(), deg_dir.mkdir()
+
+    t = np.arange(sr) / sr
+    speech = (0.3 * np.sin(2 * np.pi * 220.0 * t)
+              * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))).astype(np.float32)
+    rng = np.random.default_rng(0)
+    write_wav(str(ref_dir / "a.wav"), speech, sr)
+    write_wav(str(deg_dir / "a.wav"),
+              speech + 0.01 * rng.standard_normal(sr).astype(np.float32), sr)
+    # too short for PESQ/STOI -> those metrics are disclosed as skipped
+    write_wav(str(ref_dir / "b.wav"), speech[:1000], sr)
+    write_wav(str(deg_dir / "b.wav"), speech[:1000], sr)
+
+    out_json = str(tmp_path / "metrics.json")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate", "--ref_dir", str(ref_dir), "--deg_dir", str(deg_dir),
+        "--sr", str(sr), "--json_out", out_json,
+    ])
+    evaluate_cli.main()
+
+    text = open(out_json).read()
+
+    def _reject(c):  # bare NaN/Infinity tokens are not RFC-compliant JSON
+        raise AssertionError(f"non-strict JSON constant in json_out: {c}")
+
+    data = json.loads(text, parse_constant=_reject)
+    assert len(data["per_file"]) == 2
+    # the short clip's PESQ was skipped: disclosed in counts, null in rows
+    assert data["skipped"]["pesq_wb"] == 1
+    assert any(r["pesq_wb"] is None for r in data["per_file"])
+    # the clean pair still carries real scores and finite means
+    assert data["mean"]["pesq_wb"] is not None
+    assert data["mean"]["si_snr"] > 20.0
