@@ -471,7 +471,7 @@ def resblock_tower(
     out = pl.pallas_call(
         kernel,
         grid=(B, nT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)]
         * (2 * len(chains) + len(extra_ins)),
         out_specs=pl.BlockSpec(
@@ -561,7 +561,7 @@ def resblock_tower_gn(
     outs = pl.pallas_call(
         kernel,
         grid=(B, nT),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * G),
         out_specs=[
             pl.BlockSpec((1, C, TT), lambda i, j: (i, 0, j),

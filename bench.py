@@ -26,11 +26,8 @@ from academicodec_tpu.models.soundstream import SoundStream
 
 def main():
     # persistent compile cache (harmless if the backend ignores it)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     batch = 8
     seconds = 10

@@ -33,11 +33,8 @@ from benchmarks.hifienc_stage_probe import EncBundle, bench
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     B, T, C = 8, 120000, 64
     cfg = HiFiCodecConfig()

@@ -63,11 +63,8 @@ def main():
     p.add_argument("--configs", type=str, default=",".join(CONFIGS),
                    help="comma-separated subset of: " + ",".join(CONFIGS))
     args = p.parse_args()
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     batch, seconds, sr = args.batch, args.seconds, 24000
     cfg = HiFiCodecConfig()  # 24k_320d

@@ -43,11 +43,8 @@ def bench_chain(step, y0, w, iters=5):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     B = 8
     T0 = 750  # 10 s @ 24 kHz / 320 hop

@@ -143,11 +143,8 @@ def time_segment(name, module, x, results, folded_module=None, flop=None):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     B, F = 8, 750
     key = jax.random.PRNGKey(1)

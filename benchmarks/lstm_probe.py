@@ -106,11 +106,8 @@ def two_layer_lockstep(p, x, unroll=1):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     key = jax.random.PRNGKey(0)
     p = make_params(key)

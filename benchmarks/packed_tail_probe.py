@@ -20,11 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-except Exception:
-    pass
+from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+enable_persistent_cache()
 
 from academicodec_tpu.ops.conv import DN_1D, conv_transpose1d
 

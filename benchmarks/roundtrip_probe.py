@@ -29,11 +29,8 @@ def bench(fn, *args, iters=20):
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     batch, seconds, sr = 8, 10, 24000
     model = SoundStream(

@@ -23,11 +23,8 @@ from academicodec_tpu.streaming import StreamingDecoder, StreamingEncoder
 
 
 def main():
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     model = SoundStream(
         n_filters=32, dimension=512, ratios=(6, 5, 4, 2), sample_rate=24000,

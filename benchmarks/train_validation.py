@@ -69,11 +69,8 @@ def main():
                         "the checkpoint row) and exit without training")
     args = p.parse_args()
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     sr = 24000
     seg = int(args.seconds * sr)

@@ -22,11 +22,8 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # persistent compile cache: the trainer-step graphs take minutes to build on
 # CPU XLA; repeat suite runs hit the cache and finish in ~2 min
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-except Exception:
-    pass
+from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+enable_persistent_cache()
 
 import sys  # noqa: E402
 

@@ -47,17 +47,17 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 2)
-    try:
-        # OWN cache dir, NOT the suite's: the AOT-compiled step written here
-        # (.lower().compile()) serializes with host-specific machine
-        # features; deserializing such entries from the shared cache in a
-        # later process has been observed to SEGFAULT inside
-        # backend.deserialize_executable (jax warns "could lead to execution
-        # errors such as SIGILL" on the feature mismatch)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/academicodec_tpu_xla_cache_mh")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 4.0)
-    except Exception:
-        pass
+    # OWN cache dir, NOT the suite's: the AOT-compiled step written here
+    # (.lower().compile()) serializes with host-specific machine
+    # features; deserializing such entries from the shared cache in a
+    # later process has been observed to SEGFAULT inside
+    # backend.deserialize_executable (jax warns "could lead to execution
+    # errors such as SIGILL" on the feature mismatch). The helper adds a
+    # host-CPU fingerprint on top — the same entries go stale when the VM
+    # live-migrates between physical hosts (utils/xla_cache.py).
+    from academicodec_tpu.utils.xla_cache import enable_persistent_cache
+
+    enable_persistent_cache("/tmp/academicodec_tpu_xla_cache_mh")
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}",
         num_processes=nproc,
