@@ -10,7 +10,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags = flags + " --xla_force_host_platform_device_count=8"
+# XLA's in-process collective rendezvous ABORTS the process when any of the
+# 8 virtual-device threads is >40 s late — easily tripped by a sharded
+# trainer graph on this 1-core host when anything else shares the core.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags = flags + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 

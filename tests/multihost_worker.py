@@ -40,7 +40,12 @@ def main() -> None:
     # compile skew between the two workers (first run or cold cache, CPU
     # contention from the surrounding suite) easily exceeds it — raise it
     os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_collective_timeout_seconds=1200"
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_cpu_collective_timeout_seconds=1200"
+        # in-process rendezvous between this worker's 2 local devices: XLA
+        # aborts if a participant is >40 s late, which CPU contention from
+        # the surrounding suite can cause
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
     ).strip()
 
     import jax
