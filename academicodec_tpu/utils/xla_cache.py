@@ -18,6 +18,16 @@ directory turns a migration into a cold cache instead of a crash. TPU
 (axon) executables are device code and would survive a host swap, but they
 share directories with CPU entries, so the fingerprint applies everywhere
 — the cost is one re-compile pass per (new host, graph).
+
+KNOWN BENIGN WARNING: every cross-process AOT cache *hit* — same host,
+no migration — still logs ``cpu_aot_loader`` E-level mismatches naming
+exactly ``+prefer-no-scatter``/``+prefer-no-gather``. Those are tuning
+preferences XLA appends to the compile-time feature string; the loader's
+host probe (raw LLVM ``getHostCPUFeatures``) never reports them, so the
+set comparison always flags them. Verified by diffing the embedded
+feature strings of a stale blob vs a fresh same-host compile: identical
+ISA sets. A *real* migration shows ISA-bit deltas (avx512*, amx-*) in the
+same log line — that is the fatal case this module guards against.
 """
 
 from __future__ import annotations
