@@ -42,6 +42,12 @@ def get_args():
     p.add_argument("--fold_weight_norm", action="store_true",
                    help="fold weight-norm params for serving "
                         "(reference remove_weight_norm, vqvae_copy_syn.py:33)")
+    p.add_argument("--int8_min_channels", type=int, default=0,
+                   help="W8A8 int8 serving for resblock stages with channels "
+                        ">= this (0 = off; 128 targets the MXU compute-bound "
+                        "wide stages). Calibrates activation scales on the "
+                        "first input file. ops/int8.py; quality cost "
+                        "measured in BENCHMARKS.md")
     return p.parse_args()
 
 
@@ -70,6 +76,7 @@ def main():
     model = VQVAE(
         config=cfg, packed_conv=args.packed_conv,
         fused_resblock=args.fused_resblock,
+        int8_min_channels=args.int8_min_channels,
     )
     variables = load_variables(args.model_path, model)
     if args.fold_weight_norm:
@@ -77,12 +84,17 @@ def main():
 
         model, variables = fold_vqvae(model, variables)
 
-    encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
-    decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
-
     from academicodec_tpu.data.dataset import list_audio_files
 
     files = list_audio_files(args.input)
+    if args.int8_min_channels:
+        from academicodec_tpu.models.hificodec import calibrate_quant
+
+        wav0, _ = read_wav(files[0], sr=args.sample_rate)
+        variables = calibrate_quant(model, variables, wav0[None, :])
+
+    encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
+    decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
     os.makedirs(args.outputdir, exist_ok=True)
     tokens_dict = {}
     for path in files:

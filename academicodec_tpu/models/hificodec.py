@@ -34,6 +34,11 @@ class VQVAE(nn.Module):
     # the head-unpack relayout. See BENCHMARKS.md "Where the encode time
     # is". The lanes-packed head stays the encoder fast path.
     fused_encoder: bool = False
+    # W8A8 int8 serving for the MXU compute-bound wide resblock stages
+    # (channels >= this; 0 = off). Requires a one-off calibration pass —
+    # see calibrate_quant below. Composes with packed_conv/fused_resblock
+    # (narrow stages keep their bf16 fast paths). ops/int8.py.
+    int8_min_channels: int = 0
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -46,12 +51,14 @@ class VQVAE(nn.Module):
         self.encoder = HiFiGANEncoder(
             config=h, norm=self.norm, packed_conv=self.packed_conv,
             fused_resblock=self.fused_encoder,
+            int8_min_channels=self.int8_min_channels,
             dtype=self.dtype, precision=self.precision,
         )
         self.generator = HiFiGANGenerator(
             config=h, norm=self.norm, causal=h.causal,
             packed_conv=self.packed_conv,
             fused_resblock=self.fused_resblock,
+            int8_min_channels=0 if h.causal else self.int8_min_channels,
             dtype=self.dtype, precision=self.precision,
         )
         self.quantizer = GroupResidualVQ(
@@ -94,3 +101,19 @@ class VQVAE(nn.Module):
         assert self.config.causal, "decode_stream requires a causal config"
         q = self.quantizer.embed(codes)
         return self.generator(q, streaming=True)[..., 0]
+
+
+def calibrate_quant(model: VQVAE, variables: dict, wav: jnp.ndarray) -> dict:
+    """One-off activation calibration for ``int8_min_channels`` serving.
+
+    Runs one full-precision roundtrip over ``wav [B, T]`` with the
+    ``'quant'`` collection mutable; every w8a8 conv records max|input| into
+    its ``act_amax`` variable. Returns ``variables`` with the calibrated
+    ``'quant'`` collection merged in — pass that dict to every subsequent
+    ``apply``. Calibrate with the SAME model flags as serving (the set of
+    w8a8 sites must match) and representative audio (the scales are static;
+    louder out-of-distribution inputs clip at 127 * amax/127).
+    """
+    assert model.int8_min_channels > 0, "model has no w8a8 sites to calibrate"
+    _, mut = model.apply(variables, wav, mutable=["quant"])
+    return {**variables, "quant": mut["quant"]}

@@ -142,6 +142,13 @@ class Conv1d(nn.Module):
     use_bias: bool = True
     norm: str = "none"
     kernel_init: Optional[Any] = None
+    # W8A8 quantized serving (ops/int8.py). The activation scale is a
+    # variable in the 'quant' collection: apply with mutable=['quant'] to
+    # CALIBRATE (records max|x|, conv runs at full precision), then pass
+    # the collection read-only to SERVE int8. Uncalibrated w8a8 serving
+    # raises at trace time. Params are untouched — the torch checkpoint
+    # importer and every norm parametrization work unchanged.
+    w8a8: bool = False
     dtype: Dtype = jnp.float32
     precision: Any = None
 
@@ -175,6 +182,39 @@ class Conv1d(nn.Module):
                 pad_left=pads[0], pad_right=pads[1],
                 pad_mode=pad_mode, precision=self.precision,
             )
+        if self.w8a8:
+            assert self.groups == 1 and self.norm not in (
+                "layer_norm",
+                "time_group_norm",
+            ), "w8a8 supports plain/weight-norm kernels only"
+            from academicodec_tpu.ops import int8 as int8_ops
+
+            if self.is_initializing():
+                pass  # no quant var at init -> an uncalibrated tree has no
+                # 'quant' collection and serving below fails loudly
+            elif self.is_mutable_collection("quant"):
+                # calibration pass: record the running max, serve full-precision
+                amax = self.variable(
+                    "quant", "act_amax", lambda: jnp.zeros((), jnp.float32)
+                )
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+            else:
+                if not self.has_variable("quant", "act_amax"):
+                    raise ValueError(
+                        f"w8a8 Conv1d {self.name!r} has no calibrated "
+                        "act_amax: run models.hificodec.calibrate_quant (or "
+                        "apply with mutable=['quant']) first and pass the "
+                        "'quant' collection at serving time"
+                    )
+                amax = self.variable("quant", "act_amax", lambda: None)
+                return int8_ops.conv1d_w8a8(
+                    x, kernel, bias,
+                    jnp.maximum(amax.value, 1e-12) / 127.0,
+                    stride=self.stride, dilation=self.dilation,
+                    padding=self.padding,
+                )
         y = conv_ops.conv1d(
             x,
             kernel,

@@ -86,12 +86,14 @@ class HiFiCodecConfig:
 
 
 def _res_conv(
-    *, channels, kernel_size, dilation, norm, causal, dtype, precision, name
+    *, channels, kernel_size, dilation, norm, causal, dtype, precision, name,
+    w8a8=False,
 ):
     """A resblock conv: symmetric "same" zero padding (reference
     models.py:18-125), or its causal counterpart (all-left padding via
     SConv1d, which also provides the chunked-streaming cache)."""
     if causal:
+        assert not w8a8, "w8a8 is a non-causal serving lowering"
         return SConv1d(
             in_channels=channels,
             out_channels=channels,
@@ -111,6 +113,7 @@ def _res_conv(
         dilation=dilation,
         padding=(get_padding(kernel_size, dilation),) * 2,
         norm=norm,
+        w8a8=w8a8,
         dtype=dtype,
         precision=precision,
         name=name,
@@ -135,6 +138,7 @@ class ResBlock1(nn.Module):
     dilation: Tuple[int, ...] = (1, 3, 5)
     norm: str = "weight_norm"
     causal: bool = False
+    w8a8: bool = False  # int8 serving for every conv (ops/int8.py)
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -143,7 +147,7 @@ class ResBlock1(nn.Module):
         common = dict(
             channels=self.channels, kernel_size=self.kernel_size,
             norm=self.norm, causal=self.causal, dtype=self.dtype,
-            precision=self.precision,
+            precision=self.precision, w8a8=self.w8a8,
         )
         if collect:
             assert not self.causal, "fused tower has no causal variant"
@@ -178,30 +182,32 @@ class ResBlock2(nn.Module):
     dilation: Tuple[int, ...] = (1, 3)
     norm: str = "weight_norm"
     causal: bool = False
+    w8a8: bool = False  # int8 serving for every conv (ops/int8.py)
     dtype: Any = jnp.float32
     precision: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, streaming: bool = False, collect: bool = False):
+        common = dict(
+            channels=self.channels, kernel_size=self.kernel_size,
+            norm=self.norm, causal=self.causal, dtype=self.dtype,
+            precision=self.precision, w8a8=self.w8a8,
+        )
         if collect:
             assert not self.causal, "fused tower has no causal variant"
             ws, bs = [], []
             for i, d in enumerate(self.dilation):
-                k, b = _res_conv(
-                    channels=self.channels, kernel_size=self.kernel_size,
-                    dilation=d, norm=self.norm, causal=self.causal,
-                    dtype=self.dtype, precision=self.precision, name=f"convs_{i}",
-                )(x, return_kernel=True)
+                k, b = _res_conv(dilation=d, name=f"convs_{i}", **common)(
+                    x, return_kernel=True
+                )
                 ws.append(k)
                 bs.append(b)
             return tuple(ws), tuple(bs)
         for i, d in enumerate(self.dilation):
             xt = _lrelu(x)
-            xt = _res_conv(
-                channels=self.channels, kernel_size=self.kernel_size,
-                dilation=d, norm=self.norm, causal=self.causal,
-                dtype=self.dtype, precision=self.precision, name=f"convs_{i}",
-            )(xt, streaming=streaming)
+            xt = _res_conv(dilation=d, name=f"convs_{i}", **common)(
+                xt, streaming=streaming
+            )
             x = xt + x
         return x
 
@@ -254,6 +260,12 @@ class HiFiGANEncoder(nn.Module):
     # fused one at a time and the norms stay in XLA.
     fused_resblock: bool = False
     fused_max_channels: int = 64
+    # W8A8 int8 serving for resblock convs of stages with channels >=
+    # int8_min_channels (0 = off) — see HiFiGANGenerator.int8_min_channels.
+    # NOTE: int8 encode perturbs the latent, so extracted TOKENS can differ
+    # from the bf16 path near codebook boundaries; decode-side int8 keeps
+    # tokens exact. Calibrate encoder and generator together.
+    int8_min_channels: int = 0
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -350,6 +362,10 @@ class HiFiGANEncoder(nn.Module):
                     epsilon=1e-6,
                 )
             else:
+                stage_w8a8 = (
+                    0 < self.int8_min_channels <= ch
+                    and not isinstance(x, packed_ops.Packed)
+                )
                 xs = None
                 for j in range(num_kernels):
                     rb = resblock_cls(
@@ -357,6 +373,7 @@ class HiFiGANEncoder(nn.Module):
                         kernel_size=rks[j],
                         dilation=tuple(rds[j]),
                         norm=self.norm,
+                        w8a8=stage_w8a8,
                         dtype=self.dtype,
                         precision=self.precision,
                         name=f"resblocks_{i * num_kernels + j}",
@@ -421,6 +438,12 @@ class HiFiGANGenerator(nn.Module):
     # path is complete and interpret-tested — flip on when Mosaic grows the
     # layout cast.
     fused_pre: bool = False
+    # W8A8 int8 serving (ops/int8.py) for resblock convs of stages with
+    # cout >= int8_min_channels (0 = off). Targets the MXU compute-bound
+    # wide stages; composes with fused_resblock (narrow stages stay bf16
+    # Pallas towers). Requires calibration — see models.hificodec
+    # .calibrate_quant. Non-causal serving only.
+    int8_min_channels: int = 0
     dtype: Any = jnp.float32
     precision: Any = None
 
@@ -428,6 +451,9 @@ class HiFiGANGenerator(nn.Module):
     def __call__(self, x: jnp.ndarray, streaming: bool = False) -> jnp.ndarray:
         h = self.config
         assert not streaming or self.causal, "streaming requires causal=True"
+        assert not (self.int8_min_channels and self.causal), (
+            "int8 serving has no causal variant"
+        )
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         fused = self.fused_resblock and not streaming and not self.causal
@@ -564,6 +590,10 @@ class HiFiGANGenerator(nn.Module):
                     name=f"ups_{i}",
                 )(x)
             ch = cout
+            stage_w8a8 = (
+                0 < self.int8_min_channels <= ch
+                and not isinstance(x, packed_ops.Packed)
+            )
             xs = None
             for j, (rk, rd) in enumerate(
                 zip(h.resblock_kernel_sizes, h.resblock_dilation_sizes)
@@ -574,6 +604,7 @@ class HiFiGANGenerator(nn.Module):
                     dilation=tuple(rd),
                     norm=self.norm,
                     causal=self.causal,
+                    w8a8=stage_w8a8,
                     dtype=self.dtype,
                     precision=self.precision,
                     name=f"resblocks_{i * num_kernels + j}",

@@ -43,15 +43,19 @@ def bench(fn, *args, iters=20):
 
 
 CONFIGS = {
-    "plain": (False, False, False, False),
-    "packed": (True, False, False, False),
+    "plain": (False, False, False, False, 0),
+    "packed": (True, False, False, False, 0),
     # serving configuration: lanes-packed + weight-norm folded to plain
     # kernels (--fold_weight_norm in the CLIs; remove_weight_norm parity)
-    "packed_folded": (True, True, False, False),
+    "packed_folded": (True, True, False, False, 0),
     # fused Pallas towers on the decode side + folded weight norm
-    "fused_folded": (True, True, True, False),
+    "fused_folded": (True, True, True, False, 0),
     # + the moments-based GN-fused encoder bundle (resblock_tower_gn)
-    "fused_enc_folded": (True, True, True, True),
+    "fused_enc_folded": (True, True, True, True, 0),
+    # + W8A8 int8 resblocks on the MXU compute-bound wide stages
+    # (ops/int8.py; calibrated on a 1 s batch before timing)
+    "int8_fused_folded": (True, True, True, False, 128),
+    "int8_packed_folded": (True, True, False, False, 128),
 }
 
 
@@ -74,10 +78,10 @@ def main():
 
     results = {"batch": batch, "seconds": seconds}
     for key in args.configs.split(","):
-        packed, fold, fused, fused_enc = CONFIGS[key]
+        packed, fold, fused, fused_enc, int8_ch = CONFIGS[key]
         model = VQVAE(
             config=cfg, packed_conv=packed, fused_resblock=fused,
-            fused_encoder=fused_enc,
+            fused_encoder=fused_enc, int8_min_channels=int8_ch,
             dtype=jnp.bfloat16,
         )
         variables = jax.jit(model.init)({"params": jax.random.PRNGKey(0)}, wav[:1, :sr])
@@ -85,6 +89,10 @@ def main():
             from academicodec_tpu.utils.fold import fold_vqvae
 
             model, variables = fold_vqvae(model, variables)
+        if int8_ch:
+            from academicodec_tpu.models.hificodec import calibrate_quant
+
+            variables = calibrate_quant(model, variables, wav[:2, :sr])
 
         encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
         decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))

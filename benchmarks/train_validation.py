@@ -67,6 +67,11 @@ def main():
                    help="post-hoc mode: evaluate a --save_path checkpoint "
                         "on the held-out batch (random-init row first, then "
                         "the checkpoint row) and exit without training")
+    p.add_argument("--int8_min_channels", type=int, default=0,
+                   help="with --eval_ckpt (hificodec only): add a row for "
+                        "W8A8 int8 serving of stages with channels >= this "
+                        "(ops/int8.py) — the quality cost of the quantized "
+                        "serving mode on a trained checkpoint")
     args = p.parse_args()
 
     from academicodec_tpu.utils.xla_cache import enable_persistent_cache
@@ -118,8 +123,7 @@ def main():
     held_out = speechlike_batch(np.random.default_rng(12345), args.batch, seg, sr)
     held_out_dev = jnp.asarray(held_out)
 
-    def eval_metrics(state):
-        rec = np.asarray(reconstruct(state.g_params, state.g_extra, held_out_dev))
+    def metrics_from_rec(rec):
         row = {
             "si_snr": round(si_snr(rec, held_out), 3),
             "mel_l1": round(
@@ -144,6 +148,10 @@ def main():
             row["pesq_wb"] = float("nan")
         return row
 
+    def eval_metrics(state):
+        rec = np.asarray(reconstruct(state.g_params, state.g_extra, held_out_dev))
+        return metrics_from_rec(rec)
+
     history = []
     t_start = time.perf_counter()
     m0 = eval_metrics(state)
@@ -161,6 +169,29 @@ def main():
         row = eval_metrics(state)
         row["step"] = "ckpt:" + args.eval_ckpt.rsplit("_", 1)[-1]
         print(json.dumps(row), flush=True)
+        if args.int8_min_channels:
+            assert args.family == "hificodec", "int8 serving is HiFi-Codec only"
+            from academicodec_tpu.models.hificodec import calibrate_quant
+
+            model_q = trainer.model.clone(
+                int8_min_channels=args.int8_min_channels
+            )
+            v = {"params": state.g_params, **state.g_extra}
+            # calibrate on a DISJOINT batch (seed 777) — the held-out batch
+            # stays unseen by the scale selection
+            calib = jnp.asarray(
+                speechlike_batch(np.random.default_rng(777), args.batch, seg, sr)
+            )
+            v_cal = calibrate_quant(model_q, v, calib)
+
+            @jax.jit
+            def reconstruct_q(x):
+                g_x, _, _ = model_q.apply(v_cal, x, training=False)
+                return g_x
+
+            row = metrics_from_rec(np.asarray(reconstruct_q(held_out_dev)))
+            row["step"] = f"ckpt-int8ge{args.int8_min_channels}"
+            print(json.dumps(row), flush=True)
         return
 
     t_step = None

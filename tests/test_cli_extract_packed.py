@@ -77,3 +77,30 @@ def test_extract_tokens_packed_matches_plain(tmp_path, monkeypatch):
         a, _ = read_wav(str(tmp_path / "out_plain" / f"{fid}.wav"), sr=16000)
         b, _ = read_wav(str(tmp_path / "out_packed" / f"{fid}.wav"), sr=16000)
         np.testing.assert_allclose(b, a, atol=2e-4)  # through int16 wav IO
+
+    # --int8_min_channels: W8A8 serving e2e (calibrates on the first file);
+    # output is 8-bit-quantized so tokens/wavs may differ — assert it runs,
+    # shapes match, and the synthesized audio stays close to full precision
+    outdir = tmp_path / "out_int8"
+    _run_cli(
+        [
+            "--config", str(cfg_path),
+            "--model_path", str(ckpt_dir / "g_00000000"),
+            "--input", str(wav_dir),
+            "--outputdir", str(outdir),
+            "--tokens_out", str(tmp_path / "tok_int8.npz"),
+            "--sample_rate", "16000",
+            "--int8_min_channels", "32",
+        ],
+        monkeypatch,
+    )
+    toks_q = np.load(tmp_path / "tok_int8.npz")
+    for fid in outs["plain"].files:
+        assert toks_q[fid].shape == outs["plain"][fid].shape
+        from academicodec_tpu.data.wavio import read_wav
+
+        a, _ = read_wav(str(tmp_path / "out_plain" / f"{fid}.wav"), sr=16000)
+        b, _ = read_wav(str(outdir / f"{fid}.wav"), sr=16000)
+        assert np.all(np.isfinite(b))
+        rel = np.linalg.norm(b - a) / max(np.linalg.norm(a), 1e-9)
+        assert rel < 0.5, rel  # random-init net, 8-bit path; loose sanity
