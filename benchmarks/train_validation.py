@@ -184,12 +184,15 @@ def main():
             )
             v_cal = calibrate_quant(model_q, v, calib)
 
+            # variables as ARGUMENTS, not a closure capture: closed-over
+            # params become HLO constants and the relay rejects the
+            # checkpoint-sized compile request (HTTP 413)
             @jax.jit
-            def reconstruct_q(x):
-                g_x, _, _ = model_q.apply(v_cal, x, training=False)
+            def reconstruct_q(v, x):
+                g_x, _, _ = model_q.apply(v, x, training=False)
                 return g_x
 
-            row = metrics_from_rec(np.asarray(reconstruct_q(held_out_dev)))
+            row = metrics_from_rec(np.asarray(reconstruct_q(v_cal, held_out_dev)))
             row["step"] = f"ckpt-int8ge{args.int8_min_channels}"
             print(json.dumps(row), flush=True)
         return
