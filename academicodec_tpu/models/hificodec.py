@@ -110,10 +110,19 @@ def calibrate_quant(model: VQVAE, variables: dict, wav: jnp.ndarray) -> dict:
     ``'quant'`` collection mutable; every w8a8 conv records max|input| into
     its ``act_amax`` variable. Returns ``variables`` with the calibrated
     ``'quant'`` collection merged in — pass that dict to every subsequent
-    ``apply``. Calibrate with the SAME model flags as serving (the set of
-    w8a8 sites must match) and representative audio (the scales are static;
-    louder out-of-distribution inputs clip at 127 * amax/127).
+    ``apply``. Calibrate with the SAME config/threshold as serving (the set
+    of w8a8 sites must match) and representative audio (the scales are
+    static; louder out-of-distribution inputs clip at 127 * amax/127).
+
+    The pass itself runs on a PLAIN clone (no fused towers, no packing):
+    the fused Pallas towers extract conv weights instead of applying the
+    conv modules, so their inputs are only observable through the unfused
+    lowering. Module names are identical across lowerings, so the recorded
+    collection serves any of them.
     """
     assert model.int8_min_channels > 0, "model has no w8a8 sites to calibrate"
-    _, mut = model.apply(variables, wav, mutable=["quant"])
+    calib_model = model.clone(
+        fused_resblock=False, fused_encoder=False, packed_conv=False
+    )
+    _, mut = calib_model.apply(variables, wav, mutable=["quant"])
     return {**variables, "quant": mut["quant"]}
