@@ -71,6 +71,11 @@ def get_args():
     p.add_argument("--packed_conv", action="store_true",
                    help="lanes-packed generator convs in the train step "
                         "(exact; measured ~1.06x on-chip — see BENCHMARKS.md)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: sequential microbatches per "
+                        "optimizer update (batch_size %% accum_steps == 0); "
+                        "reproduces the reference's 8-GPU effective batch on "
+                        "fewer chips at ~batch/accum_steps activation memory")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize")
     p.add_argument("--native_loader", action="store_true",
@@ -111,6 +116,7 @@ def main():
         lambda_com=args.lambda_com,
         discriminator_iter_start=args.discriminator_iter_start,
         packed_conv=args.packed_conv,
+        accum_steps=args.accum_steps,
         lr=args.lr,
         **flavor,
         **tiny,

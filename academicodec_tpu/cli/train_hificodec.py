@@ -46,6 +46,11 @@ def get_args():
     p.add_argument("--validation_interval", type=int, default=5000)
     p.add_argument("--num_ckpt_keep", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=None, help="override config")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: sequential microbatches per "
+                        "optimizer update (batch_size %% accum_steps == 0); "
+                        "numerically identical to the monolithic step for "
+                        "this family (tests/test_grad_accum.py)")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--native_loader", action="store_true",
                    help="C++ threaded crop loader (seeks to crops; no resampling; "
@@ -72,6 +77,7 @@ def main():
         adam_b1=raw.get("adam_b1", 0.5),
         adam_b2=raw.get("adam_b2", 0.9),
         lr_decay=raw.get("lr_decay", 0.98),
+        accum_steps=args.accum_steps,
     )
     trainer = HiFiCodecTrainer(cfg)
     logger = Logger(args.checkpoint_path, args=vars(args))

@@ -80,6 +80,16 @@ class EncodecTrainConfig:
     # lanes-packed generator convs in the train step (fwd AND bwd run the
     # block-Toeplitz lowering; exact, so tokens/EMA stats are unchanged)
     packed_conv: bool = False
+    # gradient accumulation: split each [B, T] batch into this many
+    # sequential microbatches per optimizer update (B % accum_steps == 0).
+    # Reproduces the reference's 8-GPU effective batch (128 = 16 x 8,
+    # main_launch.py:199) on fewer chips: peak activation memory scales
+    # with B / accum_steps while gradients are the exact full-batch mean.
+    # The RVQ codebook EMA sees the microbatches SEQUENTIALLY (k EMA
+    # substeps per optimizer step, like BatchNorm under accumulation) —
+    # the one deviation from the monolithic step; gradients for each
+    # microbatch use the then-current codebook.
+    accum_steps: int = 1
 
 
 class _Discriminators(nn.Module):
@@ -216,6 +226,8 @@ class EncodecTrainer:
     def train_step(
         self, state: GANTrainState, x: jnp.ndarray
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        if self.cfg.accum_steps > 1:
+            return self._train_step_accum(state, x)
         cfg = self.cfg
         rng, k_bw1, k_bw2, k_rvq1, k_rvq2 = jax.random.split(state.rng, 5)
 
@@ -263,6 +275,113 @@ class EncodecTrainer:
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         metrics = dict(loss_g=loss_g_total, loss_d=loss_d, **g_metrics)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            g_extra=g_extra2,
+            g_opt_state=g_opt_state,
+            d_params=d_params,
+            d_opt_state=d_opt_state,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def _train_step_accum(
+        self, state: GANTrainState, x: jnp.ndarray
+    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """``train_step`` over ``accum_steps`` sequential microbatches.
+
+        A ``lax.scan`` keeps one microbatch's activations live at a time
+        (peak memory ~B/k of the monolithic step); per-phase gradients are
+        the mean over microbatches, applied in ONE optimizer update — the
+        exact full-batch gradient for every loss term (all are batch
+        means). The quantizer EMA threads through the scan (see
+        ``EncodecTrainConfig.accum_steps``). One bandwidth ``n_q`` draw per
+        phase, like the monolithic step.
+        """
+        cfg = self.cfg
+        k = cfg.accum_steps
+        B = x.shape[0]
+        assert B % k == 0, f"batch {B} not divisible by accum_steps {k}"
+        xm = x.reshape(k, B // k, x.shape[1])
+        rng, k_bw1, k_bw2, k_rvq1, k_rvq2 = jax.random.split(state.rng, 5)
+
+        # ---- generator phase ----
+        n_q1 = self.model.sample_n_q(k_bw1)
+
+        def g_micro(carry, inp):
+            extra, acc = carry
+            xi, key = inp
+
+            def g_loss_fn(g_params):
+                g_x, commit, new_extra = self._gen_forward(
+                    g_params, extra, xi, n_q1, key
+                )
+                out_real = self._disc_all(state.d_params, xi)
+                out_gen = self._disc_all(state.d_params, g_x)
+                total, metrics = self._g_loss(
+                    out_real, out_gen, xi, g_x, commit, state.step
+                )
+                return total, (new_extra, metrics)
+
+            (loss, (new_extra, metrics)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return (new_extra, acc), (loss, metrics)
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.g_params)
+        (g_extra1, g_acc), (g_losses, g_metrics_k) = jax.lax.scan(
+            g_micro, (state.g_extra, zero_g), (xm, jax.random.split(k_rvq1, k))
+        )
+        g_grads = jax.tree_util.tree_map(lambda t: t / k, g_acc)
+        g_updates, g_opt_state = self.g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # ---- discriminator phase ----
+        n_q2 = self.model.sample_n_q(k_bw2)
+
+        def d_micro(carry, inp):
+            extra, acc = carry
+            xi, key = inp
+            g_x2, _, new_extra = self._gen_forward(g_params, extra, xi, n_q2, key)
+            g_x2 = jax.lax.stop_gradient(g_x2)
+
+            def d_loss_fn(d_params):
+                out_real = self._disc_all(d_params, xi)
+                out_gen = self._disc_all(d_params, g_x2)
+                d = (
+                    hinge_discriminator_loss(out_real["stft"][0], out_gen["stft"][0])
+                    + hinge_discriminator_loss(out_real["mpd"][0], out_gen["mpd"][0])
+                    + hinge_discriminator_loss(out_real["msd"][0], out_gen["msd"][0])
+                ) / 3.0
+                disc_factor = adopt_weight(
+                    cfg.lambda_adv, state.step, cfg.discriminator_iter_start
+                )
+                return disc_factor * d
+
+            loss_d, grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return (new_extra, acc), loss_d
+
+        zero_d = jax.tree_util.tree_map(jnp.zeros_like, state.d_params)
+        (g_extra2, d_acc), d_losses = jax.lax.scan(
+            d_micro, (g_extra1, zero_d), (xm, jax.random.split(k_rvq2, k))
+        )
+        d_grads = jax.tree_util.tree_map(lambda t: t / k, d_acc)
+        d_updates, d_opt_state = self.d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        metrics = dict(
+            loss_g=jnp.mean(g_losses),
+            loss_d=jnp.mean(d_losses),
+            **jax.tree_util.tree_map(jnp.mean, g_metrics_k),
+        )
         new_state = state.replace(
             step=state.step + 1,
             g_params=g_params,

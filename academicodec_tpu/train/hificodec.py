@@ -50,6 +50,17 @@ class HiFiCodecTrainConfig:
     stft_n_ffts: Tuple[int, ...] = (1024, 2048, 512, 256, 128)
     mpd_periods: Tuple[int, ...] = (2, 3, 5, 7, 11)
     msd_scales: int = 3
+    # gradient accumulation: split each [B, T] batch into this many
+    # sequential microbatches per optimizer update (B % accum_steps == 0).
+    # Reproduces the reference's 8-GPU effective batch (80, readme) on
+    # fewer chips: peak activation memory scales with B / accum_steps. For
+    # THIS family the accumulated step is numerically identical to the
+    # monolithic one (up to reduction order): every loss is a batch mean,
+    # the GRVQ codebooks are gradient-trained (no EMA), and the
+    # spectral-norm power iteration is input-independent, so each
+    # microbatch derives the same advanced `u` the full batch would
+    # (tests/test_grad_accum.py pins this).
+    accum_steps: int = 1
 
 
 class _Discriminators(nn.Module):
@@ -144,6 +155,8 @@ class HiFiCodecTrainer:
         self, state: GANTrainState, y: jnp.ndarray
     ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
         """``y: [B, T]`` ground-truth segments."""
+        if self.cfg.accum_steps > 1:
+            return self._train_step_accum(state, y)
         cfg = self.cfg
 
         # single generator forward (reference train.py:214-218)
@@ -200,6 +213,108 @@ class HiFiCodecTrainer:
         g_params = optax.apply_updates(state.g_params, g_updates)
 
         metrics = dict(loss_gen_all=loss_g, loss_disc_all=loss_d, **g_metrics)
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            g_opt_state=g_opt_state,
+            d_params=d_params,
+            d_extra=d_extra,
+            d_opt_state=d_opt_state,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------------
+    def _train_step_accum(
+        self, state: GANTrainState, y: jnp.ndarray
+    ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
+        """``train_step`` over ``accum_steps`` sequential microbatches.
+
+        Numerically identical to the monolithic step (up to reduction
+        order) — see ``HiFiCodecTrainConfig.accum_steps``. Every microbatch
+        computes the spectral-norm update from the SAME pre-step ``(W, u)``
+        (the power iteration is input-independent), so the advanced ``u``
+        equals the monolithic step's; the last scan iterate is kept.
+        """
+        cfg = self.cfg
+        k = cfg.accum_steps
+        B = y.shape[0]
+        assert B % k == 0, f"batch {B} not divisible by accum_steps {k}"
+        ym = y.reshape(k, B // k, y.shape[1])
+
+        # ---- discriminator phase first (reference order) ----
+        def d_micro(acc, yi):
+            y_g_hat, _, _ = self.model.apply(
+                {"params": state.g_params, **state.g_extra}, yi, training=True
+            )
+            y_g_det = jax.lax.stop_gradient(y_g_hat)
+
+            def d_loss_fn(d_params):
+                out_real, new_spec = self.discs.apply(
+                    {"params": d_params, **state.d_extra}, yi, mutable=["spectral"]
+                )
+                out_gen = self.discs.apply(
+                    {"params": d_params, "spectral": new_spec["spectral"]}, y_g_det
+                )
+                total = 0.0
+                for kk in ("msd", "mpd", "mstftd"):
+                    l, _, _ = ls_discriminator_loss(out_real[kk][0], out_gen[kk][0])
+                    total = total + l
+                return total, new_spec
+
+            (loss_d, new_spec), grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True
+            )(state.d_params)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return acc, (loss_d, new_spec)
+
+        zero_d = jax.tree_util.tree_map(jnp.zeros_like, state.d_params)
+        d_acc, (d_losses, specs) = jax.lax.scan(d_micro, zero_d, ym)
+        d_grads = jax.tree_util.tree_map(lambda t: t / k, d_acc)
+        d_updates, d_opt_state = self.d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+        # every microbatch derived the same u from the same (W, u_old)
+        new_spec = jax.tree_util.tree_map(lambda a: a[-1], specs)
+        d_extra = {**state.d_extra, "spectral": new_spec["spectral"]}
+
+        # ---- generator phase ----
+        def g_micro(acc, yi):
+            def g_loss_fn(g_params):
+                y_hat, loss_q_g, _ = self.model.apply(
+                    {"params": g_params, **state.g_extra}, yi, training=True
+                )
+                loss_mel, mel_error = hifigan_mel_losses(
+                    yi, y_hat, None, **self._mel_cfg()
+                )
+                out_real = self.discs.apply({"params": d_params, **d_extra}, yi)
+                out_gen = self.discs.apply({"params": d_params, **d_extra}, y_hat)
+                total = loss_mel + cfg.lambda_q * loss_q_g
+                for kk in ("msd", "mpd", "mstftd"):
+                    gen_l, _ = ls_generator_loss(out_gen[kk][0])
+                    fm_l = absolute_feature_loss(out_real[kk][1], out_gen[kk][1])
+                    total = total + gen_l + fm_l
+                return total, dict(loss_q=loss_q_g, mel_error=mel_error)
+
+            (loss_g, metrics), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return acc, (loss_g, metrics)
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.g_params)
+        g_acc, (g_losses, g_metrics_k) = jax.lax.scan(g_micro, zero_g, ym)
+        g_grads = jax.tree_util.tree_map(lambda t: t / k, g_acc)
+        g_updates, g_opt_state = self.g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        metrics = dict(
+            loss_gen_all=jnp.mean(g_losses),
+            loss_disc_all=jnp.mean(d_losses),
+            **jax.tree_util.tree_map(jnp.mean, g_metrics_k),
+        )
         new_state = state.replace(
             step=state.step + 1,
             g_params=g_params,
