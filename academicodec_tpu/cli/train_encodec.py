@@ -76,6 +76,9 @@ def get_args():
                         "optimizer update (batch_size %% accum_steps == 0); "
                         "reproduces the reference's 8-GPU effective batch on "
                         "fewer chips at ~batch/accum_steps activation memory")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 forwards/backwards with f32 master weights, "
+                        "optimizer state, EMA codebooks, and loss reductions")
     p.add_argument("--tensorboard", action="store_true")
     p.add_argument("--multihost", action="store_true", help="jax.distributed.initialize")
     p.add_argument("--native_loader", action="store_true",
@@ -117,6 +120,7 @@ def main():
         discriminator_iter_start=args.discriminator_iter_start,
         packed_conv=args.packed_conv,
         accum_steps=args.accum_steps,
+        mixed_precision=args.mixed_precision,
         lr=args.lr,
         **flavor,
         **tiny,

@@ -51,6 +51,9 @@ def get_args():
                         "optimizer update (batch_size %% accum_steps == 0); "
                         "numerically identical to the monolithic step for "
                         "this family (tests/test_grad_accum.py)")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 forwards/backwards with f32 master weights, "
+                        "optimizer state, spectral-norm u, and loss reductions")
     p.add_argument("--multihost", action="store_true")
     p.add_argument("--native_loader", action="store_true",
                    help="C++ threaded crop loader (seeks to crops; no resampling; "
@@ -78,6 +81,7 @@ def main():
         adam_b2=raw.get("adam_b2", 0.9),
         lr_decay=raw.get("lr_decay", 0.98),
         accum_steps=args.accum_steps,
+        mixed_precision=args.mixed_precision,
     )
     trainer = HiFiCodecTrainer(cfg)
     logger = Logger(args.checkpoint_path, args=vars(args))

@@ -25,6 +25,24 @@ DN_1D = ("NHC", "HIO", "NHC")
 DN_2D = ("NHWC", "HWIO", "NHWC")
 
 
+def _promote_lhs(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Cast a floating activation to the kernel's floating dtype.
+
+    The kernel dtype IS the layer's compute dtype (flax convention): under
+    mixed-precision training f32 state (EMA codebook output, spectral-f32
+    STFT features) meets bf16-cast kernels, and ``lax.conv_general_dilated``
+    rejects mixed dtypes rather than promoting. No-op on the all-f32 parity
+    paths and the all-bf16 serving paths.
+    """
+    if (
+        x.dtype != kernel.dtype
+        and jnp.issubdtype(x.dtype, jnp.floating)
+        and jnp.issubdtype(kernel.dtype, jnp.floating)
+    ):
+        return x.astype(kernel.dtype)
+    return x
+
+
 def conv1d(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -37,7 +55,7 @@ def conv1d(
 ) -> jnp.ndarray:
     """Standard cross-correlation over ``[B, T, C]`` with kernel ``[K, Cin/g, Cout]``."""
     y = lax.conv_general_dilated(
-        x,
+        _promote_lhs(x, kernel),
         kernel,
         window_strides=(stride,),
         padding=tuple(padding),
@@ -69,7 +87,7 @@ def conv_transpose1d(
     k = kernel.shape[0]
     pad_lo, pad_hi = padding
     y = lax.conv_general_dilated(
-        x,
+        _promote_lhs(x, kernel),
         jnp.flip(kernel, axis=0),
         window_strides=(1,),
         padding=((k - 1 - pad_lo, k - 1 - pad_hi),),
@@ -144,7 +162,7 @@ def conv_transpose1d_subpixel(
         for m, j in phase:
             W = W.at[m_hi - m, :, r * Co : (r + 1) * Co].set(kernel[j])
     y = lax.conv_general_dilated(
-        x,
+        _promote_lhs(x, W),
         W,
         window_strides=(1,),
         padding=((m_hi, -m_lo),),  # negative pad = crop (XLA-supported)
@@ -170,7 +188,7 @@ def conv2d(
 ) -> jnp.ndarray:
     """Standard 2D conv over ``[B, H, W, C]`` with kernel ``[Kh, Kw, Cin/g, Cout]``."""
     y = lax.conv_general_dilated(
-        x,
+        _promote_lhs(x, kernel),
         kernel,
         window_strides=tuple(stride),
         padding=tuple(padding),

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from academicodec_tpu.ops.conv import DN_1D
+from academicodec_tpu.ops.conv import DN_1D, _promote_lhs
 
 
 def pack(x: jnp.ndarray, p: int) -> jnp.ndarray:
@@ -137,7 +137,8 @@ def packed_conv1d(
     p_out = p_in // stride
     W2 = _pack_kernel(kernel, M, entries, p_in, p_out)
     yp = lax.conv_general_dilated(
-        xp, W2, window_strides=(1,), padding=((m_shift, M - 1 - m_shift),),
+        _promote_lhs(xp, W2), W2, window_strides=(1,),
+        padding=((m_shift, M - 1 - m_shift),),
         dimension_numbers=DN_1D, precision=precision,
     )
     if bias is not None:
@@ -165,7 +166,7 @@ def packed_conv_transpose1d(
     # output row r sums input rows r + m - m_shift for m in [0, M):
     # y[r] = sum_m x[r + m - lo] W2[m] with lo = m_shift
     yp = lax.conv_general_dilated(
-        xp, W2, window_strides=(1,),
+        _promote_lhs(xp, W2), W2, window_strides=(1,),
         padding=((m_shift, M - 1 - m_shift),),
         dimension_numbers=DN_1D, precision=precision,
     )

@@ -131,6 +131,11 @@ def _rfft_frames(frames: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     some backends, and an explicit DFT matmul maps straight onto the MXU —
     n_fft <= 2048 makes the O(n^2) basis cheap."""
     if jax.default_backend() == "cpu":
+        # XLA's RFFT only accepts f32/f64; bf16 frames (mixed-precision
+        # training) upcast — matching the DFT-matmul branch, whose f32
+        # bases promote bf16 frames the same way.
+        if frames.dtype not in (jnp.float32, jnp.float64):
+            frames = frames.astype(jnp.float32)
         return jnp.fft.rfft(frames, n=n_fft, axis=-1)
     cos_b, sin_b = _dft_basis(n_fft)
     re = jnp.dot(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGHEST)

@@ -150,6 +150,13 @@ class ResidualVQ(nn.Module):
         """Quantize ``x [B,T,D]``; returns ``(quantized [B,T,D], codes
         [n_q_max,B,T], commit_losses [n_q_max])``. Layers ``>= n_q`` are
         masked out (zero contribution, zero loss)."""
+        # The codebook state dtype is authoritative for quantizer arithmetic:
+        # under bf16 mixed-precision training (train/encodec.py `_mp`) the
+        # encoder output arrives bf16 while EMA state stays f32 — upcast so
+        # distances, k-means init, and EMA updates all run f32. No-op when
+        # dtypes already agree (f32 parity paths, all-bf16 serving).
+        if x.dtype != self.dtype and jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(self.dtype)
         embed_v, embed_avg_v, cluster_size_v, inited_v = (
             self.embed_v,
             self.embed_avg_v,

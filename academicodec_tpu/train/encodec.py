@@ -90,6 +90,14 @@ class EncodecTrainConfig:
     # the one deviation from the monolithic step; gradients for each
     # microbatch use the then-current codebook.
     accum_steps: int = 1
+    # bf16 mixed-precision training: generator + discriminator forwards
+    # (and their backwards) run in bfloat16 — params are cast at the loss
+    # boundary (differentiable astype), so master weights, Adam moments,
+    # RVQ codebook EMA state, and every loss reduction (mel/hinge/feature,
+    # computed on f32-upcast outputs) stay float32. The reference has no
+    # AMP path (trains f32 throughout); this is the TPU-native equivalent
+    # of torch.cuda.amp for the MXU.
+    mixed_precision: bool = False
 
 
 class _Discriminators(nn.Module):
@@ -185,19 +193,44 @@ class EncodecTrainer:
         )
 
     # ------------------------------------------------------------------
+    def _mp(self, tree):
+        """bf16 view of the f32 leaves under ``mixed_precision`` (the cast
+        is differentiable, so grads land back on the f32 master weights)."""
+        if not self.cfg.mixed_precision:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+            tree,
+        )
+
+    def _f32(self, tree):
+        if not self.cfg.mixed_precision:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t,
+            tree,
+        )
+
     def _gen_forward(self, params, extra, x, n_q, rng):
+        # under mixed_precision the forward runs bf16 (params + waveform
+        # cast in); outputs are upcast so every loss reduces in f32. The
+        # codebook EMA collection (extra) is untouched — bf16 activations
+        # promote against the f32 codebook inside the quantizer, keeping
+        # distance/EMA arithmetic f32.
         (g_x, commit, _codes), new_extra = self.model.apply(
-            {"params": params, **extra},
-            x,
+            {"params": self._mp(params), **extra},
+            self._mp(x),
             n_q=n_q,
             training=True,
             mutable=["codebook"],
             rngs={"rvq": rng},
         )
-        return g_x, commit, new_extra
+        return self._f32(g_x), self._f32(commit), new_extra
 
     def _disc_all(self, d_params, x):
-        return self.discs.apply({"params": d_params}, x)
+        return self._f32(
+            self.discs.apply({"params": self._mp(d_params)}, self._mp(x))
+        )
 
     def _g_loss(self, out_real, out_gen, x, g_x, commit, step):
         cfg = self.cfg

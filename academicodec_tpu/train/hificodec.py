@@ -61,6 +61,14 @@ class HiFiCodecTrainConfig:
     # microbatch derives the same advanced `u` the full batch would
     # (tests/test_grad_accum.py pins this).
     accum_steps: int = 1
+    # bf16 mixed-precision training: generator + discriminator forwards
+    # (and their backwards) run in bfloat16 via differentiable param/input
+    # casts at the loss boundary; master weights, Adam moments, spectral-u
+    # state, and loss reductions (mel/LS-GAN/feature, on f32-upcast
+    # outputs) stay float32. The GRVQ codebooks are gradient-trained
+    # params, so under MP the code assignment runs bf16 while codebook
+    # updates accumulate f32. No reference counterpart (trains f32).
+    mixed_precision: bool = False
 
 
 class _Discriminators(nn.Module):
@@ -150,6 +158,45 @@ class HiFiCodecTrainer:
         )
 
     # ------------------------------------------------------------------
+    def _mp(self, tree):
+        """bf16 view of the f32 leaves under ``mixed_precision`` (the cast
+        is differentiable, so grads land back on the f32 master weights)."""
+        if not self.cfg.mixed_precision:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+            tree,
+        )
+
+    def _f32(self, tree):
+        if not self.cfg.mixed_precision:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t,
+            tree,
+        )
+
+    def _gen_apply(self, g_params, g_extra, y):
+        """Generator forward, bf16 under ``mixed_precision`` with f32-upcast
+        outputs (mel + quantizer losses then reduce in f32)."""
+        y_hat, loss_q, codes = self.model.apply(
+            {"params": self._mp(g_params), **g_extra}, self._mp(y), training=True
+        )
+        return self._f32(y_hat), self._f32(loss_q), codes
+
+    def _disc_apply(self, d_params, extra, y, mutable=False):
+        """Discriminator bundle forward, bf16 under ``mixed_precision``;
+        logits/features upcast to f32 for the losses. The spectral-norm
+        state stays f32 (its f32 ``u`` promotes the power iteration)."""
+        variables = {"params": self._mp(d_params), **extra}
+        if mutable:
+            out, new_spec = self.discs.apply(
+                variables, self._mp(y), mutable=["spectral"]
+            )
+            return self._f32(out), new_spec
+        return self._f32(self.discs.apply(variables, self._mp(y)))
+
+    # ------------------------------------------------------------------
     @partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(
         self, state: GANTrainState, y: jnp.ndarray
@@ -160,9 +207,7 @@ class HiFiCodecTrainer:
         cfg = self.cfg
 
         # single generator forward (reference train.py:214-218)
-        y_g_hat, loss_q, _codes = self.model.apply(
-            {"params": state.g_params, **state.g_extra}, y, training=True
-        )
+        y_g_hat, loss_q, _codes = self._gen_apply(state.g_params, state.g_extra, y)
         y_g_det = jax.lax.stop_gradient(y_g_hat)
 
         # ---- discriminator phase first ----
@@ -171,11 +216,11 @@ class HiFiCodecTrainer:
         # forward (3+/step) — a known intentional deviation, see
         # COMPONENTS.md "Known intentional deviations" #6.
         def d_loss_fn(d_params):
-            out_real, new_spec = self.discs.apply(
-                {"params": d_params, **state.d_extra}, y, mutable=["spectral"]
+            out_real, new_spec = self._disc_apply(
+                d_params, state.d_extra, y, mutable=True
             )
-            out_gen = self.discs.apply(
-                {"params": d_params, "spectral": new_spec["spectral"]}, y_g_det
+            out_gen = self._disc_apply(
+                d_params, {"spectral": new_spec["spectral"]}, y_g_det
             )
             total = 0.0
             for k in ("msd", "mpd", "mstftd"):
@@ -193,12 +238,10 @@ class HiFiCodecTrainer:
         # ---- generator phase (rebuild the graph so grads flow through
         # encoder/quantizer/generator; same per-step data) ----
         def g_loss_fn(g_params):
-            y_hat, loss_q_g, _ = self.model.apply(
-                {"params": g_params, **state.g_extra}, y, training=True
-            )
+            y_hat, loss_q_g, _ = self._gen_apply(g_params, state.g_extra, y)
             loss_mel, mel_error = hifigan_mel_losses(y, y_hat, None, **self._mel_cfg())
-            out_real = self.discs.apply({"params": d_params, **d_extra}, y)
-            out_gen = self.discs.apply({"params": d_params, **d_extra}, y_hat)
+            out_real = self._disc_apply(d_params, d_extra, y)
+            out_gen = self._disc_apply(d_params, d_extra, y_hat)
             total = loss_mel + cfg.lambda_q * loss_q_g
             for k in ("msd", "mpd", "mstftd"):
                 gen_l, _ = ls_generator_loss(out_gen[k][0])
@@ -243,17 +286,15 @@ class HiFiCodecTrainer:
 
         # ---- discriminator phase first (reference order) ----
         def d_micro(acc, yi):
-            y_g_hat, _, _ = self.model.apply(
-                {"params": state.g_params, **state.g_extra}, yi, training=True
-            )
+            y_g_hat, _, _ = self._gen_apply(state.g_params, state.g_extra, yi)
             y_g_det = jax.lax.stop_gradient(y_g_hat)
 
             def d_loss_fn(d_params):
-                out_real, new_spec = self.discs.apply(
-                    {"params": d_params, **state.d_extra}, yi, mutable=["spectral"]
+                out_real, new_spec = self._disc_apply(
+                    d_params, state.d_extra, yi, mutable=True
                 )
-                out_gen = self.discs.apply(
-                    {"params": d_params, "spectral": new_spec["spectral"]}, y_g_det
+                out_gen = self._disc_apply(
+                    d_params, {"spectral": new_spec["spectral"]}, y_g_det
                 )
                 total = 0.0
                 for kk in ("msd", "mpd", "mstftd"):
@@ -281,14 +322,12 @@ class HiFiCodecTrainer:
         # ---- generator phase ----
         def g_micro(acc, yi):
             def g_loss_fn(g_params):
-                y_hat, loss_q_g, _ = self.model.apply(
-                    {"params": g_params, **state.g_extra}, yi, training=True
-                )
+                y_hat, loss_q_g, _ = self._gen_apply(g_params, state.g_extra, yi)
                 loss_mel, mel_error = hifigan_mel_losses(
                     yi, y_hat, None, **self._mel_cfg()
                 )
-                out_real = self.discs.apply({"params": d_params, **d_extra}, yi)
-                out_gen = self.discs.apply({"params": d_params, **d_extra}, y_hat)
+                out_real = self._disc_apply(d_params, d_extra, yi)
+                out_gen = self._disc_apply(d_params, d_extra, y_hat)
                 total = loss_mel + cfg.lambda_q * loss_q_g
                 for kk in ("msd", "mpd", "mstftd"):
                     gen_l, _ = ls_generator_loss(out_gen[kk][0])

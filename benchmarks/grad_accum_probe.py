@@ -46,12 +46,16 @@ def main():
     p.add_argument("--accum", type=int, nargs="+", default=[1, 2, 8])
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--seconds", type=float, default=1.0)
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 forwards/backwards (train/encodec.py "
+                        "mixed_precision) — A/B the step time vs f32")
     args = p.parse_args()
 
     from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
 
     base = EncodecTrainConfig(
-        sr=24000, ratios=(6, 5, 4, 2), target_bandwidths=(1, 2, 4, 8, 12)
+        sr=24000, ratios=(6, 5, 4, 2), target_bandwidths=(1, 2, 4, 8, 12),
+        mixed_precision=args.mixed_precision,
     )
     rng = jax.random.PRNGKey(0)
     T = int(args.seconds * 24000)

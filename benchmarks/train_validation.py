@@ -67,6 +67,11 @@ def main():
                    help="post-hoc mode: evaluate a --save_path checkpoint "
                         "on the held-out batch (random-init row first, then "
                         "the checkpoint row) and exit without training")
+    p.add_argument("--mixed_precision", action="store_true",
+                   help="bf16 forwards/backwards, f32 master state "
+                        "(train/*.py mixed_precision) — measures both the "
+                        "step-time win and the metric trajectory under MP")
+    p.add_argument("--accum_steps", type=int, default=1)
     p.add_argument("--int8_min_channels", type=int, default=0,
                    help="with --eval_ckpt (hificodec only): add a row for "
                         "W8A8 int8 serving of stages with channels >= this "
@@ -87,6 +92,8 @@ def main():
             ratios=(6, 5, 4, 2),
             target_bandwidths=(1, 2, 4, 8, 12),
             discriminator_iter_start=args.disc_start,
+            mixed_precision=args.mixed_precision,
+            accum_steps=args.accum_steps,
         )
         trainer = EncodecTrainer(cfg)
         loss_key = "loss_g"
@@ -105,7 +112,9 @@ def main():
         )
 
         seg = (seg // 320) * 320  # whole GRVQ frames (hop 320)
-        trainer = HiFiCodecTrainer(HiFiCodecTrainConfig())
+        trainer = HiFiCodecTrainer(HiFiCodecTrainConfig(
+            mixed_precision=args.mixed_precision, accum_steps=args.accum_steps,
+        ))
         loss_key = "loss_gen_all"
 
         @jax.jit

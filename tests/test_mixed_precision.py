@@ -1,0 +1,112 @@
+"""bf16 mixed-precision training (``mixed_precision=True``) — contracts.
+
+Beyond-reference capability (the reference trains f32 throughout): forwards
+and backwards run bf16 via differentiable param/input casts at the loss
+boundary; everything stateful stays f32 — master weights, Adam moments,
+RVQ codebook EMA, spectral-norm u — and every loss reduces in f32 on
+upcast outputs.
+
+Pinned here:
+  * both trainers step with finite losses under MP;
+  * all optimizer-visible state (params, opt state, EMA/spectral extras)
+    remains float32 after an MP step;
+  * at init, MP losses track the f32 step (bf16 rounding only);
+  * MP composes with accum_steps (the wrappers sit under both paths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
+from academicodec_tpu.train.hificodec import HiFiCodecTrainConfig, HiFiCodecTrainer
+
+TINY_DISCS = dict(
+    stft_filters=4, stft_n_ffts=(256, 128), mpd_periods=(2, 3), msd_scales=2
+)
+
+
+def _fresh(state):
+    return jax.tree_util.tree_map(jnp.array, state)
+
+
+def _assert_all_f32(tree, what):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32, f"{what}: {leaf.dtype}"
+
+
+def test_encodec_mixed_precision_step():
+    cfg_f32 = EncodecTrainConfig(
+        sr=16000, ratios=(4, 4, 2), target_bandwidths=(1, 2), n_filters=4,
+        dimension=32, bins=16, discriminator_iter_start=0, **TINY_DISCS
+    )
+    cfg_mp = dataclasses.replace(cfg_f32, mixed_precision=True)
+    tr_f32, tr_mp = EncodecTrainer(cfg_f32), EncodecTrainer(cfg_mp)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 640)).astype(np.float32) * 0.3)
+    state0 = tr_f32.init_state(jax.random.PRNGKey(0), x)
+    # one full-precision warmup so codebooks are initialized identically
+    state, _ = tr_f32.train_step(state0, x)
+
+    s_mp, m_mp = tr_mp.train_step(_fresh(state), x)
+    s_f32, m_f32 = tr_f32.train_step(state, x)
+
+    for k in ("loss_g", "loss_d", "rec_loss", "commit_loss"):
+        assert np.isfinite(float(m_mp[k])), k
+    # state stays f32 end to end
+    _assert_all_f32(s_mp.g_params, "g_params")
+    _assert_all_f32(s_mp.d_params, "d_params")
+    _assert_all_f32(s_mp.g_opt_state, "g_opt_state")
+    _assert_all_f32(s_mp.g_extra, "g_extra (EMA codebook)")
+    # bf16 forward tracks the f32 loss at init (loose: bf16 rounding through
+    # a GAN bundle)
+    rel = abs(float(m_mp["loss_g"]) - float(m_f32["loss_g"])) / (
+        1.0 + abs(float(m_f32["loss_g"]))
+    )
+    assert rel < 0.05, rel
+
+
+def test_hificodec_mixed_precision_step_and_accum():
+    cfg_model = HiFiCodecConfig(
+        upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), encoder_base_channels=8,
+        n_code_groups=2, n_codes=16, sampling_rate=16000,
+    )
+    cfg_f32 = HiFiCodecTrainConfig(model=cfg_model, **TINY_DISCS)
+    cfg_mp = dataclasses.replace(cfg_f32, mixed_precision=True)
+    cfg_mp_acc = dataclasses.replace(cfg_mp, accum_steps=2)
+    tr_f32 = HiFiCodecTrainer(cfg_f32)
+    tr_mp = HiFiCodecTrainer(cfg_mp)
+    tr_mp_acc = HiFiCodecTrainer(cfg_mp_acc)
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((4, 512)).astype(np.float32) * 0.3)
+    state = tr_f32.init_state(jax.random.PRNGKey(1), y)
+
+    s_mp, m_mp = tr_mp.train_step(_fresh(state), y)
+    s_acc, m_acc = tr_mp_acc.train_step(_fresh(state), y)
+    s_f32, m_f32 = tr_f32.train_step(state, y)
+
+    for m in (m_mp, m_acc):
+        assert np.isfinite(float(m["loss_gen_all"]))
+        assert np.isfinite(float(m["loss_disc_all"]))
+    _assert_all_f32(s_mp.g_params, "g_params")
+    _assert_all_f32(s_mp.d_params, "d_params")
+    _assert_all_f32(s_mp.d_extra, "d_extra (spectral u)")
+    rel = abs(float(m_mp["loss_gen_all"]) - float(m_f32["loss_gen_all"])) / (
+        1.0 + abs(float(m_f32["loss_gen_all"]))
+    )
+    assert rel < 0.05, rel
+    # MP + accum agree with plain MP (same math, microbatched)
+    rel2 = abs(float(m_acc["loss_gen_all"]) - float(m_mp["loss_gen_all"])) / (
+        1.0 + abs(float(m_mp["loss_gen_all"]))
+    )
+    assert rel2 < 0.05, rel2
