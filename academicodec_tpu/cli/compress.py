@@ -45,6 +45,15 @@ def get_args():
     p.add_argument("--lm", type=str, default=None,
                    help="token-LM checkpoint dir (cli/train_lm.py) for "
                         "entropy-coded streams instead of raw bit packing")
+    p.add_argument("--bucket_seconds", type=float, default=None,
+                   help="pad inputs to multiples of this many seconds so a "
+                        "variable-length corpus compiles once per bucket "
+                        "count instead of once per distinct wav length "
+                        "(jit recompiles cost 30 s-5 min each on the TPU "
+                        "relay). Head tokens stay bit-identical; the last "
+                        "~receptive-field frames may differ from an exact-"
+                        "length encode — leave off for reference-parity "
+                        "bitstreams (codec/compress.py docstring)")
     return p.parse_args()
 
 
@@ -106,7 +115,8 @@ def main():
         lm, lm_vars, lm_meta = load_lm(args.lm)
         lm_trained_frames = lm_meta.get("trained_frames")
     compressor = SoundStreamCompressor(
-        model, variables, target_bw=args.target_bw, lm=lm, lm_variables=lm_vars
+        model, variables, target_bw=args.target_bw, lm=lm, lm_variables=lm_vars,
+        bucket_seconds=args.bucket_seconds,
     )
 
     os.makedirs(args.output, exist_ok=True)

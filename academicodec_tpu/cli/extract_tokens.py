@@ -13,6 +13,8 @@ Checkpoint: framework orbax dir or reference torch ``g_*`` file.
 from __future__ import annotations
 
 import argparse
+import functools
+import math
 import os
 
 import jax
@@ -48,7 +50,21 @@ def get_args():
                         "wide stages). Calibrates activation scales on the "
                         "first input file. ops/int8.py; quality cost "
                         "measured in BENCHMARKS.md")
-    return p.parse_args()
+    p.add_argument("--bucket_seconds", type=float, default=None,
+                   help="pad inputs to multiples of this many seconds so a "
+                        "variable-length corpus compiles once per bucket "
+                        "count instead of once per distinct wav length "
+                        "(jit recompiles cost 30 s-5 min each on the TPU "
+                        "relay). Tokens are EXACT: the encoder masks its "
+                        "GroupNorm statistics to the valid prefix "
+                        "(VQVAE.encode lengths=), so trimmed streams match "
+                        "an exact-length encode bit-for-bit. Requires the "
+                        "plain lowering (no --packed_conv/--fused_resblock)")
+    args = p.parse_args()
+    if args.bucket_seconds and (args.packed_conv or args.fused_resblock):
+        p.error("--bucket_seconds needs the plain lowering: drop "
+                "--packed_conv/--fused_resblock (masked GroupNorm stats)")
+    return args
 
 
 def load_variables(path: str, model: VQVAE):
@@ -94,7 +110,24 @@ def main():
         variables = calibrate_quant(model, variables, wav0[None, :])
 
     encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
+    encode_masked = jax.jit(
+        lambda v, w, l: model.apply(v, w, lengths=l, method=VQVAE.encode)
+    )
     decode = jax.jit(lambda v, c: model.apply(v, c, method=VQVAE.decode))
+
+    @functools.lru_cache(maxsize=None)
+    def eval_frames(T: int) -> int:
+        """Exact-length token count without compiling (jax.eval_shape)."""
+        w = jax.ShapeDtypeStruct((1, T), np.float32)
+        return jax.eval_shape(
+            lambda v, x: model.apply(v, x, method=VQVAE.encode), variables, w
+        ).shape[1]
+
+    bucket = None
+    if args.bucket_seconds:
+        hop = int(np.prod(cfg.upsample_rates))
+        raw = max(1, int(round(args.bucket_seconds * args.sample_rate)))
+        bucket = math.ceil(raw / hop) * hop
     os.makedirs(args.outputdir, exist_ok=True)
     tokens_dict = {}
     for path in files:
@@ -103,10 +136,41 @@ def main():
         if args.normalize:
             peak = np.abs(wav).max() or 1.0
             wav = wav / peak * 0.95
-        codes = np.asarray(encode(variables, wav[None, :]))
+        if bucket:
+            T = len(wav)
+            B = math.ceil(T / bucket) * bucket
+            n_exact = eval_frames(T)
+            codes = np.asarray(
+                encode_masked(
+                    variables,
+                    np.pad(wav, (0, B - T))[None, :],
+                    np.array([T], np.int32),
+                )
+            )
+            codes = codes[:, :n_exact, :]
+        else:
+            codes = np.asarray(encode(variables, wav[None, :]))
         tokens_dict[fid] = codes
         if not args.no_synth:
-            out = np.asarray(decode(variables, codes))[0]
+            if bucket:
+                bf = bucket // int(np.prod(cfg.upsample_rates))
+                n = codes.shape[1]
+                nb = math.ceil(n / bf) * bf
+                padded = (
+                    np.concatenate(
+                        [codes, np.repeat(codes[:, -1:, :], nb - n, axis=1)], axis=1
+                    )
+                    if nb > n
+                    else codes
+                )
+                out_len = jax.eval_shape(
+                    lambda v, c: model.apply(v, c, method=VQVAE.decode),
+                    variables,
+                    jax.ShapeDtypeStruct(codes.shape, codes.dtype),
+                ).shape[-1]
+                out = np.asarray(decode(variables, padded))[0, :out_len]
+            else:
+                out = np.asarray(decode(variables, codes))[0]
             write_wav(os.path.join(args.outputdir, fid + ".wav"), out, sr)
         print(f"{fid}: tokens {codes.shape}")
     if args.tokens_out:

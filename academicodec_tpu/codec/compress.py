@@ -15,6 +15,7 @@ batch item — batch size 1 per file, like the reference CLI.
 from __future__ import annotations
 
 import io
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -66,6 +67,7 @@ class SoundStreamCompressor:
         target_bw: Optional[float] = None,
         lm=None,
         lm_variables=None,
+        bucket_seconds: Optional[float] = None,
     ):
         import jax
 
@@ -80,10 +82,43 @@ class SoundStreamCompressor:
         # flag) instead of raw bit packing; typically 10-25% smaller files
         self.lm = lm
         self.lm_variables = lm_variables
+        # Length bucketing (TPU serving concern the eager reference never
+        # has, test.py:102-123 runs each file at its native length): under
+        # jit every distinct wav length is a fresh XLA compile — 30 s-5 min
+        # each through the remote-compile relay — so a directory of
+        # variable-length files spends its wall clock compiling. With
+        # ``bucket_seconds`` set, inputs are zero-padded up to the next
+        # bucket multiple (rounded to whole hops) and token streams are
+        # edge-replicated up to whole buckets on decode, bounding compiles
+        # to one per bucket count. Outputs are trimmed back to the exact
+        # frame/sample counts of the unpadded input. Deviation from exact-
+        # length encode: the non-causal encoder's tail receptive field sees
+        # the zero padding instead of reflect padding, so the last
+        # ~receptive-field/hop frames of a bucketed stream may differ from
+        # an exact-length encode (head frames are bit-identical; pinned in
+        # tests/test_bucketed.py). Keep bucketing OFF for byte-identical
+        # reference-parity bitstreams.
+        self.bucket = None
+        if bucket_seconds:
+            hop = model.hop_length
+            raw = max(1, int(round(bucket_seconds * model.sample_rate)))
+            self.bucket = math.ceil(raw / hop) * hop
+
+    def _exact_frames(self, T: int) -> int:
+        """Token frames an exact-length encode of ``T`` samples yields
+        (ceil-mode padded SEANet stack -> ceil(T / hop))."""
+        return math.ceil(T / self.model.hop_length)
 
     def compress(self, wav: np.ndarray) -> bytes:
         """wav ``[T]`` float32 -> ECDC bytes."""
-        codes = np.asarray(self._encode(self.variables, wav[None, :]))  # [n_q, 1, T']
+        wav_in = wav
+        if self.bucket:
+            T = int(wav.shape[-1])
+            B = math.ceil(T / self.bucket) * self.bucket
+            wav_in = np.pad(wav, (0, B - T))
+        codes = np.asarray(self._encode(self.variables, wav_in[None, :]))  # [n_q, 1, T']
+        if self.bucket:
+            codes = codes[:, :, : self._exact_frames(int(wav.shape[-1]))]
         meta = dict(
             model="soundstream",
             sr=int(self.model.sample_rate),
@@ -116,6 +151,17 @@ class SoundStreamCompressor:
             codes, meta = decompress_tokens_with_lm(self.lm, self.lm_variables, blob)
         else:
             codes, meta = decompress_codes(blob)
+        if self.bucket:
+            # pad the token stream to whole buckets by repeating the final
+            # frame (a plausible continuation; the junk region is trimmed
+            # below) so decode compiles once per bucket count
+            bf = self.bucket // self.model.hop_length
+            n = codes.shape[-1]
+            nb = math.ceil(n / bf) * bf
+            if nb > n:
+                codes = np.concatenate(
+                    [codes, np.repeat(codes[:, -1:], nb - n, axis=-1)], axis=-1
+                )
         wav = np.asarray(self._decode(self.variables, codes[:, None, :]))[0]
         # trim the ceil-mode padding back to the original length
         if "audio_length" in meta:

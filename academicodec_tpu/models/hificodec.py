@@ -81,10 +81,17 @@ class VQVAE(nn.Module):
         y = self.generator(q)
         return y[..., 0], loss_q, codes
 
-    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+    def encode(self, x: jnp.ndarray, lengths=None) -> jnp.ndarray:
         """``x [B, T]`` -> acoustic tokens ``[B, frames, 4]``
-        (reference vqvae.py:37-45)."""
-        c = self.encoder(x[..., None])
+        (reference vqvae.py:37-45).
+
+        ``lengths [B]`` (optional): valid sample counts for a zero-padded
+        batch. The encoder then masks its GroupNorm statistics to the valid
+        prefix, so each item's valid token frames are exactly what its
+        exact-length encode yields — one compile serves a whole
+        variable-length corpus (trim frames ``>= ceil-mode count`` per
+        item host-side). Requires the plain lowering (no packed/fused)."""
+        c = self.encoder(x[..., None], lengths=lengths)
         _, _, codes = self.quantizer(c, training=False)
         return codes
 

@@ -143,7 +143,13 @@ class ResBlock1(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming: bool = False, collect: bool = False):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        streaming: bool = False,
+        collect: bool = False,
+        mask=None,
+    ):
         common = dict(
             channels=self.channels, kernel_size=self.kernel_size,
             norm=self.norm, causal=self.causal, dtype=self.dtype,
@@ -165,10 +171,17 @@ class ResBlock1(nn.Module):
             xt = _res_conv(dilation=d, name=f"convs1_{i}", **common)(
                 xt, streaming=streaming
             )
+            if mask is not None:
+                # re-zero pad frames so the next conv's valid outputs see
+                # zeros (== the exact-length conv's zero padding), not the
+                # bias leakage of a conv over padding
+                xt = xt * mask
             xt = _lrelu(xt)
             xt = _res_conv(dilation=1, name=f"convs2_{i}", **common)(
                 xt, streaming=streaming
             )
+            if mask is not None:
+                xt = xt * mask
             x = xt + x
         return x
 
@@ -187,7 +200,13 @@ class ResBlock2(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, streaming: bool = False, collect: bool = False):
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        streaming: bool = False,
+        collect: bool = False,
+        mask=None,
+    ):
         common = dict(
             channels=self.channels, kernel_size=self.kernel_size,
             norm=self.norm, causal=self.causal, dtype=self.dtype,
@@ -208,12 +227,22 @@ class ResBlock2(nn.Module):
             xt = _res_conv(dilation=d, name=f"convs_{i}", **common)(
                 xt, streaming=streaming
             )
+            if mask is not None:
+                xt = xt * mask  # see ResBlock1: keep pad frames exactly zero
             x = xt + x
         return x
 
 
 class GroupNormTorch(nn.Module):
-    """GroupNorm matching torch semantics on channels-last input."""
+    """GroupNorm matching torch semantics on channels-last input.
+
+    ``mask``/``count`` (set together) restrict the statistics to valid
+    frames: ``mask [B, T, 1]`` 0/1, ``count [B]`` = number of valid frames.
+    This is the length-masked serving path (HiFiGANEncoder ``lengths``)
+    that makes zero-padded batches match per-item exact-length encodes —
+    the reference (eager, models.py:410-415) never pads so it never needs
+    this; under jit padding is how variable-length corpora avoid
+    per-length recompiles."""
 
     num_groups: int
     channels: int
@@ -221,7 +250,9 @@ class GroupNormTorch(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, collect: bool = False):
+    def __call__(
+        self, x: jnp.ndarray, collect: bool = False, mask=None, count=None
+    ):
         scale = self.param("scale", nn.initializers.ones, (self.channels,), self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.dtype)
         if collect:
@@ -229,14 +260,21 @@ class GroupNormTorch(nn.Module):
             # weight source for the fused encoder bundle (resblock_tower_gn)
             return scale, bias
         if isinstance(x, packed_ops.Packed):
+            assert mask is None, "masked stats need the plain layout"
             return packed_ops.group_norm_packed(
                 x, self.num_groups, scale, bias, self.epsilon
             )
         B, T, C = x.shape
         g = self.num_groups
         xg = x.reshape(B, T, g, C // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        if mask is None:
+            mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+            var = jnp.var(xg, axis=(1, 3), keepdims=True)
+        else:
+            m = mask[..., None]  # [B, T, 1, 1]
+            n = (count.astype(x.dtype) * (C // g)).reshape(B, 1, 1, 1)
+            mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / n
+            var = jnp.sum(jnp.square(xg - mean) * m, axis=(1, 3), keepdims=True) / n
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         return xg.reshape(B, T, C) * scale + bias
 
@@ -270,12 +308,34 @@ class HiFiGANEncoder(nn.Module):
     precision: Any = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, lengths=None) -> jnp.ndarray:
         h = self.config
         num_kernels = len(h.resblock_kernel_sizes)
         resblock_cls = ResBlock1 if h.resblock == "1" else ResBlock2
         base = h.encoder_base_channels
         ups = list(reversed(list(zip(h.upsample_rates, h.upsample_kernel_sizes))))
+        # Length-masked encode: ``lengths [B]`` marks the valid prefix of a
+        # zero-padded batch. Valid-frame outputs then match each item's
+        # exact-length encode (the GroupNorm statistics are restricted to
+        # valid frames and pad frames are re-zeroed after every conv, so
+        # right-edge windows see exactly the zeros an exact-length conv
+        # pads with). This is what makes bucketed/batched variable-length
+        # token extraction exact under jit — see codec/compress.py.
+        L = mask = None
+        if lengths is not None:
+            if self.packed_conv or self.fused_resblock:
+                raise ValueError(
+                    "length-masked encode requires the plain lowering "
+                    "(packed_conv=False, fused_resblock=False)"
+                )
+            L = jnp.asarray(lengths, jnp.int32)
+
+        def _mask_for(xx, LL):
+            B, T, _ = xx.shape
+            return (jnp.arange(T)[None, :] < LL[:, None]).astype(xx.dtype)[
+                ..., None
+            ]
+
         # lanes-packing for the small-channel waveform-rate head (same policy
         # as SEANetEncoder.packed_head; ops/packed.py): pack the input so the
         # C=1..64 stem/stage convs and their GroupNorms run at >=128 effective
@@ -300,6 +360,9 @@ class HiFiGANEncoder(nn.Module):
             precision=self.precision,
             name="conv_pre",
         )(x)
+        if L is not None:
+            mask = _mask_for(x, L)
+            x = x * mask  # conv-over-padding leaks the bias; zero it
         rks = list(reversed(h.resblock_kernel_sizes))
         rds = list(reversed(h.resblock_dilation_sizes))
         for i, (u, k) in enumerate(ups):
@@ -316,6 +379,11 @@ class HiFiGANEncoder(nn.Module):
                 precision=self.precision,
                 name=f"ups_{i}",
             )(x)
+            if L is not None:
+                # strided-conv output-length arithmetic on the valid prefix
+                L = (L + 2 * ((k - u) // 2) - k) // u + 1
+                mask = _mask_for(x, L)
+                x = x * mask
             if i + 1 == j_max and isinstance(x, packed_ops.Packed):
                 x = packed_ops.unpack_t(x)  # p==1 here: slice-only exit
             ch = base * (2 ** (i + 1))
@@ -378,7 +446,7 @@ class HiFiGANEncoder(nn.Module):
                         precision=self.precision,
                         name=f"resblocks_{i * num_kernels + j}",
                     )
-                    r = rb(x)
+                    r = rb(x, mask=mask)
                     # the reference normalizes the *accumulated* sum each
                     # step (models.py:410-415)
                     xs = r if xs is None else xs + r
@@ -388,7 +456,9 @@ class HiFiGANEncoder(nn.Module):
                         epsilon=1e-6,
                         dtype=self.dtype,
                         name=f"normalize_{i * num_kernels + j}",
-                    )(xs)
+                    )(xs, mask=mask, count=L)
+                    if mask is not None:
+                        xs = xs * mask  # the norm's bias leaks into pad frames
                 x = packed_ops.maybe_map(lambda v: v / num_kernels, xs)
         if isinstance(x, packed_ops.Packed):
             x = packed_ops.unpack_t(x)

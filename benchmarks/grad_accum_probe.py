@@ -49,34 +49,49 @@ def main():
     p.add_argument("--mixed_precision", action="store_true",
                    help="bf16 forwards/backwards (train/encodec.py "
                         "mixed_precision) — A/B the step time vs f32")
+    p.add_argument("--family", choices=("encodec", "hificodec"),
+                   default="encodec",
+                   help="hificodec = full-size 24k_320d LS-GAN trainer "
+                        "(batch x --seconds crops; reference segment is "
+                        "16000 samples = 2/3 s)")
     args = p.parse_args()
 
-    from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
-
-    base = EncodecTrainConfig(
-        sr=24000, ratios=(6, 5, 4, 2), target_bandwidths=(1, 2, 4, 8, 12),
-        mixed_precision=args.mixed_precision,
-    )
+    if args.family == "hificodec":
+        from academicodec_tpu.train.hificodec import (
+            HiFiCodecTrainConfig, HiFiCodecTrainer as Trainer,
+        )
+        base = HiFiCodecTrainConfig(mixed_precision=args.mixed_precision)
+        sr = base.model.sampling_rate
+    else:
+        from academicodec_tpu.train.encodec import (
+            EncodecTrainConfig, EncodecTrainer as Trainer,
+        )
+        base = EncodecTrainConfig(
+            sr=24000, ratios=(6, 5, 4, 2), target_bandwidths=(1, 2, 4, 8, 12),
+            mixed_precision=args.mixed_precision,
+        )
+        sr = 24000
     rng = jax.random.PRNGKey(0)
-    T = int(args.seconds * 24000)
+    T = int(args.seconds * sr)
     x = jax.random.normal(rng, (args.batch, T), jnp.float32) * 0.1
 
     out = {"backend": jax.default_backend(), "batch": args.batch, "rows": []}
     for k in args.accum:
         cfg = dataclasses.replace(base, accum_steps=k)
-        trainer = EncodecTrainer(cfg)
+        trainer = Trainer(cfg)
+        loss_key = "loss_g" if args.family == "encodec" else "loss_gen_all"
         row = {"accum_steps": k}
         try:
             state = trainer.init_state(jax.random.PRNGKey(0), x)
             np.asarray(jax.tree_util.tree_leaves(state.g_params)[0])
             t0 = time.perf_counter()
             state, m = trainer.train_step(state, x)
-            loss = float(m["loss_g"])  # sync
+            loss = float(m[loss_key])  # sync
             row["compile_s"] = round(time.perf_counter() - t0, 1)
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 state, m = trainer.train_step(state, x)
-            loss = float(m["loss_g"])
+            loss = float(m[loss_key])
             row["ms_per_step"] = round((time.perf_counter() - t0) / args.steps * 1000, 1)
             row["loss_g"] = round(loss, 3)
             peak = device_peak_bytes()
