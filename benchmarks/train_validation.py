@@ -72,6 +72,12 @@ def main():
                         "(train/*.py mixed_precision) — measures both the "
                         "step-time win and the metric trajectory under MP")
     p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--eval_nq", type=int, default=0,
+                   help="with --eval_ckpt (encodec only): add a row decoding "
+                        "with only the first N codebooks (N kbps at 24k_240d) "
+                        "— bitrate-matched comparison against HiFi-Codec's "
+                        "4x750 Hz = 3 kbps stream (reference readme.md:33 "
+                        "headline claim)")
     p.add_argument("--int8_min_channels", type=int, default=0,
                    help="with --eval_ckpt (hificodec only): add a row for "
                         "W8A8 int8 serving of stages with channels >= this "
@@ -178,6 +184,23 @@ def main():
         row = eval_metrics(state)
         row["step"] = "ckpt:" + args.eval_ckpt.rsplit("_", 1)[-1]
         print(json.dumps(row), flush=True)
+        if args.eval_nq:
+            assert args.family == "encodec", "--eval_nq is Encodec-only"
+
+            @jax.jit
+            def reconstruct_nq(g_params, g_extra, x):
+                g_x, _, _ = trainer.model.apply(
+                    {"params": g_params, **g_extra}, x,
+                    n_q=args.eval_nq, training=False,
+                )
+                return g_x
+
+            rec = np.asarray(
+                reconstruct_nq(state.g_params, state.g_extra, held_out_dev)
+            )
+            row = metrics_from_rec(rec)
+            row["step"] = f"ckpt-nq{args.eval_nq}"
+            print(json.dumps(row), flush=True)
         if args.int8_min_channels:
             assert args.family == "hificodec", "int8 serving is HiFi-Codec only"
             from academicodec_tpu.models.hificodec import calibrate_quant
