@@ -54,7 +54,23 @@ def get_args():
                         "~receptive-field frames may differ from an exact-"
                         "length encode — leave off for reference-parity "
                         "bitstreams (codec/compress.py docstring)")
-    return p.parse_args()
+    p.add_argument("--dtype", choices=("f32", "bf16"), default="f32",
+                   help="serving precision: f32 is the reference-parity "
+                        "path; bf16 is the TPU serving fast path "
+                        "(BENCHMARKS.md headline — tokens are argmin-"
+                        "quantized and robust, wav deltas are float noise)")
+    p.add_argument("--batch_files", type=int, default=1,
+                   help="corpus serving batch: encode/decode this many files "
+                        "per device call (requires --bucket_seconds). Files "
+                        "are grouped by bucket count; partial groups are "
+                        "batch-padded so the whole corpus reuses one "
+                        "executable per bucket count. Output order follows "
+                        "group completion, not the sorted listing")
+    args = p.parse_args()
+    if args.batch_files > 1 and not args.bucket_seconds:
+        p.error("--batch_files needs --bucket_seconds (uniform padded "
+                "lengths per device batch)")
+    return args
 
 
 def check_clipping(wav: np.ndarray, rescale: bool) -> None:
@@ -78,6 +94,29 @@ def save_audio(wav: np.ndarray, path: str, sr: int, rescale: bool) -> None:
     write_wav(path, wav, sr)
 
 
+def prefetch_reads(paths, sr: int, depth: int = 8):
+    """Yield ``(path, wav)`` with up to ``depth`` file reads in flight on a
+    worker thread — host IO overlaps device compute (JAX dispatch is async;
+    the device queue drains while the next files decode on the host)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = max(1, depth)
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        inflight: deque = deque()
+        it = iter(paths)
+        for path in it:
+            inflight.append((path, pool.submit(read_wav, path, sr=sr)))
+            if len(inflight) >= depth:
+                break
+        while inflight:
+            path, fut = inflight.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                inflight.append((nxt, pool.submit(read_wav, nxt, sr=sr)))
+            yield path, fut.result()[0]
+
+
 def load_model_variables(path: str, model: SoundStream):
     if os.path.isfile(path) and path.endswith((".pth", ".pt")):
         import torch
@@ -97,6 +136,8 @@ def load_model_variables(path: str, model: SoundStream):
 
 def main():
     args = get_args()
+    import jax.numpy as jnp
+
     model = SoundStream(
         n_filters=args.n_filters,
         dimension=args.dimension,
@@ -105,8 +146,18 @@ def main():
         target_bandwidths=tuple(args.target_bandwidths),
         bins=args.bins,
         packed_conv=args.packed_conv,
+        dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
     )
     variables = load_model_variables(args.resume_path, model)
+    if args.dtype == "bf16":
+        import jax
+
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            variables,
+        )
     lm = lm_vars = None
     lm_trained_frames = None
     if args.lm:
@@ -123,9 +174,10 @@ def main():
     names = sorted(f for f in os.listdir(args.input) if f.endswith(".wav"))
     hop = int(np.prod(args.ratios))
     warned_lm_len = False
-    for name in names:
-        wav, _ = read_wav(os.path.join(args.input, name), sr=args.sr)
-        frames = -(-len(wav) // hop)
+
+    def warn_lm(name: str, n_samples: int) -> None:
+        nonlocal warned_lm_len
+        frames = -(-n_samples // hop)
         if (lm_trained_frames and frames > lm_trained_frames
                 and not warned_lm_len):
             warned_lm_len = True
@@ -137,15 +189,60 @@ def main():
                 "with --segment_seconds covering your files.",
                 file=sys.stderr,
             )
-        blob = compressor.compress(wav)
-        if args.ecdc:
-            with open(os.path.join(args.output, name[:-4] + ".ecdc"), "wb") as fh:
-                fh.write(blob)
-        out, sr = compressor.decompress(blob)
-        check_clipping(out, args.rescale)
-        save_audio(out, os.path.join(args.output, name), sr, args.rescale)
-        print(f"{name}: {len(blob)} bytes "
-              f"({8 * len(blob) / (len(wav) / args.sr) / 1000:.2f} kbps)")
+
+    def complete(submitted):
+        """Host half of a group: fetch tokens, pack, decode, write."""
+        gnames, wavs, codes_dev = submitted
+        blobs = compressor.pack_submitted(codes_dev, [len(w) for w in wavs])
+        outs = compressor.decompress_batch(blobs, pad_to_batch=args.batch_files)
+        for name, wav, blob, (out, sr) in zip(gnames, wavs, blobs, outs):
+            if args.ecdc:
+                with open(
+                    os.path.join(args.output, name[:-4] + ".ecdc"), "wb"
+                ) as fh:
+                    fh.write(blob)
+            check_clipping(out, args.rescale)
+            save_audio(out, os.path.join(args.output, name), sr, args.rescale)
+            print(f"{name}: {len(blob)} bytes "
+                  f"({8 * len(blob) / (len(wav) / args.sr) / 1000:.2f} kbps)")
+
+    # groups keyed by bucket count so every device batch has one padded
+    # length; reads are prefetched on a worker thread, and encodes run one
+    # group ahead (submit_encode is async) so the next group's transfer +
+    # device compute overlap this group's host-side pack/decode/write
+    pending: dict = {}
+    inflight = None
+    for path, wav in prefetch_reads(
+        [os.path.join(args.input, n) for n in names],
+        args.sr,
+        depth=2 * args.batch_files,
+    ):
+        name = os.path.basename(path)
+        warn_lm(name, len(wav))
+        key = (
+            -(-len(wav) // compressor.bucket) if compressor.bucket else len(wav)
+        )
+        pending.setdefault(key, []).append((name, wav))
+        if len(pending[key]) >= args.batch_files:
+            gnames, wavs = zip(*pending.pop(key))
+            submitted = (
+                gnames, wavs,
+                compressor.submit_encode(list(wavs), pad_to_batch=args.batch_files),
+            )
+            if inflight is not None:
+                complete(inflight)
+            inflight = submitted
+    for group in pending.values():
+        gnames, wavs = zip(*group)
+        submitted = (
+            gnames, wavs,
+            compressor.submit_encode(list(wavs), pad_to_batch=args.batch_files),
+        )
+        if inflight is not None:
+            complete(inflight)
+        inflight = submitted
+    if inflight is not None:
+        complete(inflight)
 
 
 if __name__ == "__main__":

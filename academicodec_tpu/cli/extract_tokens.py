@@ -60,10 +60,21 @@ def get_args():
                         "(VQVAE.encode lengths=), so trimmed streams match "
                         "an exact-length encode bit-for-bit. Requires the "
                         "plain lowering (no --packed_conv/--fused_resblock)")
+    p.add_argument("--batch_files", type=int, default=1,
+                   help="corpus serving batch: encode (and synthesize) this "
+                        "many files per device call (requires "
+                        "--bucket_seconds). Tokens stay BIT-EXACT per item "
+                        "(masked GroupNorm statistics are per-item); files "
+                        "are grouped by bucket count and partial groups are "
+                        "batch-padded so the corpus reuses one executable "
+                        "per bucket count")
     args = p.parse_args()
     if args.bucket_seconds and (args.packed_conv or args.fused_resblock):
         p.error("--bucket_seconds needs the plain lowering: drop "
                 "--packed_conv/--fused_resblock (masked GroupNorm stats)")
+    if args.batch_files > 1 and not args.bucket_seconds:
+        p.error("--batch_files needs --bucket_seconds (uniform padded "
+                "lengths per device batch)")
     return args
 
 
@@ -81,6 +92,97 @@ def load_variables(path: str, model: VQVAE):
     if "params" in state:
         return state
     return {"params": state["g_params"], **state["g_extra"]}
+
+
+def run_batched(args, cfg, model, variables, files, bucket,
+                encode_masked, decode, eval_frames, tokens_dict):
+    """Batched corpus extraction: one device encode (and one decode) per
+    group of ``batch_files`` same-bucket files. Tokens are BIT-EXACT per
+    item — the masked GroupNorm statistics are per-item, so a padded batch
+    equals per-item exact encodes (tests/test_bucketed.py
+    test_masked_encode_batches_variable_lengths). The eager reference serves
+    files one by one (vqvae_tester.py:16-37); batch 1 leaves a TPU chip at
+    its dispatch floor."""
+    from academicodec_tpu.cli.compress import prefetch_reads
+
+    hop = int(np.prod(cfg.upsample_rates))
+    bf = bucket // hop
+    sr = args.sample_rate
+
+    @functools.lru_cache(maxsize=None)
+    def decode_len(n: int) -> int:
+        return jax.eval_shape(
+            lambda v, c: model.apply(v, c, method=VQVAE.decode),
+            variables,
+            jax.ShapeDtypeStruct((1, n, 4), np.int32),
+        ).shape[-1]
+
+    def submit(group):
+        """Dispatch the group's encode WITHOUT fetching (async) so the next
+        group's host->device transfer + encode overlap this group's
+        host-side trim/decode/write (the transfer dominates on
+        relay-attached chips — benchmarks/corpus_serving_probe.py)."""
+        fids, wavs = zip(*group)
+        Ts = [len(w) for w in wavs]
+        Tpad = max(math.ceil(t / bucket) * bucket for t in Ts)
+        rows = [np.pad(w, (0, Tpad - t)) for w, t in zip(wavs, Ts)]
+        lens = list(Ts)
+        while len(rows) < args.batch_files:  # batch-pad partial groups
+            rows.append(np.zeros(Tpad, np.float32))
+            lens.append(Tpad)
+        return fids, Ts, encode_masked(
+            variables, np.stack(rows), np.array(lens, np.int32)
+        )
+
+    def complete(submitted):
+        fids, Ts, codes_dev = submitted
+        codes_b = np.asarray(codes_dev)
+        items = []
+        for i, (fid, T) in enumerate(zip(fids, Ts)):
+            codes = codes_b[i : i + 1, : eval_frames(T), :]  # [1, n, 4]
+            tokens_dict[fid] = codes
+            items.append((fid, codes))
+        if not args.no_synth:
+            nmax = max(c.shape[1] for _, c in items)
+            nb = math.ceil(nmax / bf) * bf
+            rows_c = []
+            for _, c in items:
+                cc = c[0]
+                if nb > cc.shape[0]:
+                    cc = np.concatenate(
+                        [cc, np.repeat(cc[-1:], nb - cc.shape[0], axis=0)], axis=0
+                    )
+                rows_c.append(cc)
+            while len(rows_c) < args.batch_files:
+                rows_c.append(rows_c[0])
+            outs = np.asarray(decode(variables, np.stack(rows_c)))
+            for i, (fid, c) in enumerate(items):
+                out = outs[i, : decode_len(c.shape[1])]
+                write_wav(os.path.join(args.outputdir, fid + ".wav"), out, sr)
+        for fid, c in items:
+            print(f"{fid}: tokens {c.shape}")
+
+    pending: dict = {}
+    inflight = None
+    for path, wav in prefetch_reads(files, sr, depth=2 * args.batch_files):
+        fid = os.path.splitext(os.path.basename(path))[0]
+        if args.normalize:
+            peak = np.abs(wav).max() or 1.0
+            wav = wav / peak * 0.95
+        key = -(-len(wav) // bucket)
+        pending.setdefault(key, []).append((fid, wav))
+        if len(pending[key]) >= args.batch_files:
+            submitted = submit(pending.pop(key))
+            if inflight is not None:
+                complete(inflight)
+            inflight = submitted
+    for group in pending.values():
+        submitted = submit(group)
+        if inflight is not None:
+            complete(inflight)
+        inflight = submitted
+    if inflight is not None:
+        complete(inflight)
 
 
 def main():
@@ -130,6 +232,15 @@ def main():
         bucket = math.ceil(raw / hop) * hop
     os.makedirs(args.outputdir, exist_ok=True)
     tokens_dict = {}
+
+    if args.batch_files > 1:
+        run_batched(args, cfg, model, variables, files, bucket,
+                    encode_masked, decode, eval_frames, tokens_dict)
+        if args.tokens_out:
+            np.savez(args.tokens_out, **tokens_dict)
+            print(f"wrote {len(tokens_dict)} token tensors to {args.tokens_out}")
+        return
+
     for path in files:
         fid = os.path.splitext(os.path.basename(path))[0]
         wav, sr = read_wav(path, sr=args.sample_rate)

@@ -109,36 +109,94 @@ class SoundStreamCompressor:
         (ceil-mode padded SEANet stack -> ceil(T / hop))."""
         return math.ceil(T / self.model.hop_length)
 
-    def compress(self, wav: np.ndarray) -> bytes:
-        """wav ``[T]`` float32 -> ECDC bytes."""
-        wav_in = wav
-        if self.bucket:
-            T = int(wav.shape[-1])
-            B = math.ceil(T / self.bucket) * self.bucket
-            wav_in = np.pad(wav, (0, B - T))
-        codes = np.asarray(self._encode(self.variables, wav_in[None, :]))  # [n_q, 1, T']
-        if self.bucket:
-            codes = codes[:, :, : self._exact_frames(int(wav.shape[-1]))]
-        meta = dict(
+    def _meta(self, T: int) -> dict:
+        return dict(
             model="soundstream",
             sr=int(self.model.sample_rate),
             ratios=[int(r) for r in self.model.ratios],
             target_bw=float(self.target_bw),
-            audio_length=int(wav.shape[-1]),
-        )
-        if self.lm is not None:
-            from academicodec_tpu.codec.lm_compress import compress_tokens_with_lm
-
-            return compress_tokens_with_lm(
-                self.lm, self.lm_variables, codes[:, 0, :], metadata=meta
-            )
-        return compress_codes(
-            codes[:, 0, :], bits_per_codebook=self.model.bits_per_codebook, metadata=meta
+            audio_length=int(T),
         )
 
-    def decompress(self, blob: bytes) -> Tuple[np.ndarray, int]:
-        """ECDC bytes -> (wav ``[T]``, sample_rate). The header's ``lm`` flag
-        selects the decode path, so LM- and raw-coded files interoperate."""
+    def compress(self, wav: np.ndarray) -> bytes:
+        """wav ``[T]`` float32 -> ECDC bytes."""
+        return self.compress_batch([wav])[0]
+
+    def compress_batch(
+        self,
+        wavs,
+        pad_to_batch: Optional[int] = None,
+    ) -> list:
+        """Batched corpus serving: list of ``[T_i]`` wavs -> list of ECDC
+        blobs through ONE device encode.
+
+        The eager reference serves files one by one (test.py:102-123); at
+        batch 1 a TPU chip sits at its per-dispatch floor. Batching bucketed
+        inputs amortizes the dispatch and fills the MXU (BENCHMARKS.md batch
+        scaling: ~3x roundtrip throughput at batch 8 vs 1). Items are padded
+        to the longest bucket in the batch; with ``pad_to_batch`` the batch
+        dimension is zero-padded to a fixed size so a whole corpus reuses
+        one executable per bucket count (pad rows are encoded and dropped).
+        Per-item blobs are byte-identical to sequential ``compress`` calls
+        of the same padded length (tests/test_bucketed.py pins this).
+        """
+        return self.pack_submitted(
+            self.submit_encode(wavs, pad_to_batch=pad_to_batch),
+            [int(w.shape[-1]) for w in wavs],
+        )
+
+    def submit_encode(self, wavs, pad_to_batch: Optional[int] = None):
+        """Device half of :meth:`compress_batch`: pad/stack the batch and
+        dispatch the encode WITHOUT fetching (JAX dispatch is asynchronous)
+        — returns the device codes array. Pair with :meth:`pack_submitted`.
+        Lets a caller software-pipeline groups: the next group's host->device
+        transfer and encode overlap this group's host-side packing (the
+        transfer is the corpus bottleneck on relay-attached chips —
+        benchmarks/corpus_serving_probe.py)."""
+        Ts = [int(w.shape[-1]) for w in wavs]
+        Tmax = max(Ts)
+        if self.bucket:
+            Tpad = math.ceil(Tmax / self.bucket) * self.bucket
+        else:
+            if len(set(Ts)) > 1:
+                raise ValueError(
+                    "compress_batch with mixed lengths requires bucket_seconds"
+                )
+            Tpad = Tmax
+        rows = [np.pad(w, (0, Tpad - t)) for w, t in zip(wavs, Ts)]
+        if pad_to_batch and len(rows) < pad_to_batch:
+            rows += [np.zeros(Tpad, np.float32)] * (pad_to_batch - len(rows))
+        batch = np.stack(rows)
+        if self.model.dtype != np.float32:
+            # cast host-side: the model promotes inputs to its compute dtype
+            # anyway, and a bf16 wire format halves the upload
+            batch = batch.astype(self.model.dtype)
+        return self._encode(self.variables, batch)  # [n_q, B, frames]
+
+    def pack_submitted(self, codes_dev, lengths) -> list:
+        """Host half of :meth:`compress_batch`: fetch the device codes of
+        :meth:`submit_encode` and pack per-item ECDC blobs."""
+        codes = np.asarray(codes_dev)
+        Ts = [int(t) for t in lengths]
+        blobs = []
+        for i, T in enumerate(Ts):
+            c = codes[:, i, : self._exact_frames(T)]
+            meta = self._meta(T)
+            if self.lm is not None:
+                from academicodec_tpu.codec.lm_compress import compress_tokens_with_lm
+
+                blobs.append(
+                    compress_tokens_with_lm(self.lm, self.lm_variables, c, metadata=meta)
+                )
+            else:
+                blobs.append(
+                    compress_codes(
+                        c, bits_per_codebook=self.model.bits_per_codebook, metadata=meta
+                    )
+                )
+        return blobs
+
+    def _unpack_blob(self, blob: bytes) -> Tuple[np.ndarray, dict]:
         header_meta = read_ecdc_header(io.BytesIO(blob))
         if header_meta.get("lm"):
             if self.lm is None:
@@ -148,22 +206,60 @@ class SoundStreamCompressor:
                 )
             from academicodec_tpu.codec.lm_compress import decompress_tokens_with_lm
 
-            codes, meta = decompress_tokens_with_lm(self.lm, self.lm_variables, blob)
-        else:
-            codes, meta = decompress_codes(blob)
-        if self.bucket:
-            # pad the token stream to whole buckets by repeating the final
-            # frame (a plausible continuation; the junk region is trimmed
-            # below) so decode compiles once per bucket count
-            bf = self.bucket // self.model.hop_length
+            return decompress_tokens_with_lm(self.lm, self.lm_variables, blob)
+        return decompress_codes(blob)
+
+    def decompress(self, blob: bytes) -> Tuple[np.ndarray, int]:
+        """ECDC bytes -> (wav ``[T]``, sample_rate). The header's ``lm`` flag
+        selects the decode path, so LM- and raw-coded files interoperate."""
+        return self.decompress_batch([blob])[0]
+
+    def decompress_batch(
+        self,
+        blobs,
+        pad_to_batch: Optional[int] = None,
+    ) -> list:
+        """Batched inverse of :meth:`compress_batch`: list of ECDC blobs ->
+        list of ``(wav [T], sample_rate)`` through ONE device decode.
+
+        Streams are frame-padded (edge-replicated) up to the longest whole
+        bucket in the batch and trimmed back to each item's exact
+        ``audio_length``; ``pad_to_batch`` fixes the batch dimension so the
+        executable is reused across a corpus. Mixed LM/raw blobs interoperate
+        (the per-blob header selects the host-side unpacking)."""
+        items = [self._unpack_blob(blob) for blob in blobs]
+        n_qs = {c.shape[0] for c, _ in items}
+        if len(n_qs) > 1:
+            raise ValueError(
+                f"decompress_batch needs a uniform codebook count, got {n_qs}"
+            )
+        # pad every token stream to the batch's common whole-bucket frame
+        # count by repeating the final frame (a plausible continuation; the
+        # junk region is trimmed below) so decode compiles once per bucket
+        # count
+        bf = self.bucket // self.model.hop_length if self.bucket else 1
+        nmax = max(c.shape[-1] for c, _ in items)
+        nb = math.ceil(nmax / bf) * bf
+        rows = []
+        for codes, _ in items:
             n = codes.shape[-1]
-            nb = math.ceil(n / bf) * bf
             if nb > n:
                 codes = np.concatenate(
                     [codes, np.repeat(codes[:, -1:], nb - n, axis=-1)], axis=-1
                 )
-        wav = np.asarray(self._decode(self.variables, codes[:, None, :]))[0]
-        # trim the ceil-mode padding back to the original length
-        if "audio_length" in meta:
-            wav = wav[: meta["audio_length"]]
-        return wav, meta["sr"]
+            rows.append(codes)
+        if pad_to_batch and len(rows) < pad_to_batch:
+            rows += [rows[0]] * (pad_to_batch - len(rows))
+        wavs = np.asarray(
+            self._decode(self.variables, np.stack(rows, axis=1))
+        )  # [B, T]
+        out = []
+        for i, (_, meta) in enumerate(items):
+            wav = wavs[i]
+            # trim the ceil-mode padding back to the original length
+            if "audio_length" in meta:
+                wav = wav[: meta["audio_length"]]
+            if wav.dtype != np.float32:  # bf16 serving: f32 is the host API
+                wav = wav.astype(np.float32)
+            out.append((wav, meta["sr"]))
+        return out

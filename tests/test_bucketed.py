@@ -129,6 +129,42 @@ def test_bucketed_streams_interoperate_with_exact(tiny_soundstream):
     np.testing.assert_allclose(out_a[:head], out_b[:head], atol=1e-4)
 
 
+def test_compress_batch_blobs_byte_identical(tiny_soundstream):
+    """Batched corpus serving (compress_batch/decompress_batch): one device
+    call per group must produce byte-identical ECDC blobs to sequential
+    compress() calls — encode is batch-invariant at the token level — and
+    decompress_batch must restore exact lengths with float-noise-only wav
+    deltas (the batched decode's different XLA schedule)."""
+    model, variables = tiny_soundstream
+    comp = SoundStreamCompressor(
+        model, variables, target_bw=4, bucket_seconds=0.5
+    )
+    rng = np.random.default_rng(21)
+    # both in the same 1-bucket group (8000-sample pad) like the CLI groups
+    lengths = [5000, 7000, 3000]
+    wavs = [
+        (rng.standard_normal(T) * 0.1).astype(np.float32) for T in lengths
+    ]
+    blobs_b = comp.compress_batch(wavs, pad_to_batch=4)
+    blobs_s = [comp.compress(w) for w in wavs]
+    for got, want in zip(blobs_b, blobs_s):
+        assert got == want
+    outs = comp.decompress_batch(blobs_b, pad_to_batch=4)
+    for (out, sr), w in zip(outs, wavs):
+        assert sr == SR and out.shape == w.shape
+        ref, _ = comp.decompress(comp.compress(w))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_compress_batch_mixed_lengths_need_bucketing(tiny_soundstream):
+    model, variables = tiny_soundstream
+    comp = SoundStreamCompressor(model, variables, target_bw=4)
+    rng = np.random.default_rng(2)
+    wavs = [(rng.standard_normal(T) * 0.1).astype(np.float32) for T in (3000, 5000)]
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        comp.compress_batch(wavs)
+
+
 def _tiny_vqvae():
     from academicodec_tpu.models.hificodec import VQVAE
     from academicodec_tpu.nn.hifigan import HiFiCodecConfig
@@ -182,6 +218,78 @@ def test_bucketed_vqvae_token_extraction():
         )
     )[:, :n_exact, :]
     np.testing.assert_array_equal(codes_exact, codes_buck)
+
+
+@pytest.mark.slow
+def test_extract_tokens_cli_batched_matches_sequential(tmp_path, monkeypatch):
+    """extract_tokens --batch_files: the grouped/padded corpus path writes
+    the same token tensors as sequential extraction (bit-exact; masked
+    GroupNorm stats are per-item) and the same reconstructions."""
+    import json
+    import sys
+
+    from academicodec_tpu.cli import extract_tokens as cli
+    from academicodec_tpu.data.wavio import write_wav
+    from academicodec_tpu.models.hificodec import VQVAE
+    from academicodec_tpu.nn.hifigan import HiFiCodecConfig
+    from academicodec_tpu.utils.checkpoint import save_checkpoint
+
+    cfg_d = dict(
+        upsample_rates=[5, 4, 2, 2], upsample_kernel_sizes=[11, 8, 4, 4],
+        segment_size=4000, encoder_base_channels=8,
+        upsample_initial_channel=128, n_codes=64,
+    )
+    cfg = HiFiCodecConfig.from_json(cfg_d)
+    with open(tmp_path / "cfg.json", "w") as fh:
+        json.dump(cfg_d, fh)
+    model = VQVAE(config=cfg)
+    rng = jax.random.PRNGKey(2)
+    variables = model.init(rng, np.zeros((1, 4000), np.float32), training=False)
+    save_checkpoint(
+        str(tmp_path / "ckpt"), "g", 1,
+        {"params": jax.device_get(variables["params"])},
+    )
+    import glob as _glob
+
+    ckpt = _glob.glob(str(tmp_path / "ckpt" / "g_*"))[0]
+
+    sr = 24000
+    (tmp_path / "in").mkdir()
+    rng_np = np.random.default_rng(1)
+    for i, T in enumerate((3210, 4000, 2100, 9000, 1500)):
+        write_wav(
+            str(tmp_path / "in" / f"f{i}.wav"),
+            (rng_np.standard_normal(T) * 0.1).astype(np.float32), sr,
+        )
+
+    base = [
+        "extract_tokens", "--config", str(tmp_path / "cfg.json"),
+        "--model_path", ckpt, "--input", str(tmp_path / "in"),
+        "--sample_rate", str(sr), "--bucket_seconds", "0.2",
+    ]
+    monkeypatch.setattr(sys, "argv", base + [
+        "--outputdir", str(tmp_path / "out_b"),
+        "--tokens_out", str(tmp_path / "tok_b.npz"), "--batch_files", "2",
+    ])
+    cli.main()
+    monkeypatch.setattr(sys, "argv", base + [
+        "--outputdir", str(tmp_path / "out_s"),
+        "--tokens_out", str(tmp_path / "tok_s.npz"),
+    ])
+    cli.main()
+
+    tb = np.load(tmp_path / "tok_b.npz")
+    ts = np.load(tmp_path / "tok_s.npz")
+    assert sorted(tb.files) == sorted(ts.files)
+    for k in ts.files:
+        np.testing.assert_array_equal(tb[k], ts[k])
+    from academicodec_tpu.data.wavio import read_wav
+
+    for i in range(5):
+        a, _ = read_wav(str(tmp_path / "out_b" / f"f{i}.wav"))
+        b, _ = read_wav(str(tmp_path / "out_s" / f"f{i}.wav"))
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
 
 
 def test_masked_encode_batches_variable_lengths():
