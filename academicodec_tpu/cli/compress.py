@@ -66,7 +66,17 @@ def get_args():
                         "batch-padded so the whole corpus reuses one "
                         "executable per bucket count. Output order follows "
                         "group completion, not the sorted listing")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each serving batch over all devices "
+                        "(jax.sharding.Mesh; params replicated). The "
+                        "multi-chip corpus deployment mode — requires "
+                        "--batch_files to be a multiple of the device "
+                        "count. Blobs stay byte-identical to single-device "
+                        "serving (batch-pointwise graph, no collectives)")
     args = p.parse_args()
+    if args.data_parallel and args.batch_files < 2:
+        p.error("--data_parallel needs --batch_files >= the device count "
+                "(one batch row per device at minimum)")
     if args.batch_files > 1 and not args.bucket_seconds:
         p.error("--batch_files needs --bucket_seconds (uniform padded "
                 "lengths per device batch)")
@@ -165,9 +175,18 @@ def main():
 
         lm, lm_vars, lm_meta = load_lm(args.lm)
         lm_trained_frames = lm_meta.get("trained_frames")
+    mesh = None
+    if args.data_parallel:
+        from academicodec_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if args.batch_files % n_dev:
+            sys.exit(f"--batch_files {args.batch_files} must be a multiple "
+                     f"of the device count ({n_dev}) for --data_parallel")
     compressor = SoundStreamCompressor(
         model, variables, target_bw=args.target_bw, lm=lm, lm_variables=lm_vars,
-        bucket_seconds=args.bucket_seconds,
+        bucket_seconds=args.bucket_seconds, mesh=mesh,
     )
 
     os.makedirs(args.output, exist_ok=True)

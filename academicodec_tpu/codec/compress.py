@@ -68,11 +68,28 @@ class SoundStreamCompressor:
         lm=None,
         lm_variables=None,
         bucket_seconds: Optional[float] = None,
+        mesh=None,
     ):
         import jax
 
         self.model = model
         self.variables = variables
+        # Data-parallel corpus serving: with a ``jax.sharding.Mesh`` the
+        # batch dim of every encode/decode is sharded over the mesh's
+        # devices (params replicated once here) — the multi-chip deployment
+        # mode for ``compress_batch``. GSPMD partitions the conv/RVQ graphs
+        # with no cross-device collectives on this path (everything is
+        # batch-pointwise), so per-item blobs stay byte-identical to the
+        # unsharded path (tests/test_sharded_serving.py). The reference's
+        # only serving mode is one file per call on one device
+        # (test.py:102-123).
+        self.mesh = mesh
+        if mesh is not None:
+            from academicodec_tpu.parallel import replicate
+
+            self.variables = replicate(variables, mesh)
+            if lm_variables is not None:
+                lm_variables = replicate(lm_variables, mesh)
         self.target_bw = target_bw if target_bw is not None else model.target_bandwidths[-1]
         self._encode = jax.jit(
             lambda v, w: model.apply(v, w, target_bw=self.target_bw, method=type(model).encode)
@@ -171,7 +188,25 @@ class SoundStreamCompressor:
             # cast host-side: the model promotes inputs to its compute dtype
             # anyway, and a bf16 wire format halves the upload
             batch = batch.astype(self.model.dtype)
+        if self.mesh is not None:
+            batch = self._shard(batch, batch_axis=0)
         return self._encode(self.variables, batch)  # [n_q, B, frames]
+
+    def _shard(self, arr: np.ndarray, batch_axis: int):
+        """Device-put ``arr`` with ``batch_axis`` sharded over the mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = self.mesh.devices.size
+        if arr.shape[batch_axis] % n_dev:
+            raise ValueError(
+                f"data-parallel serving needs the batch ({arr.shape[batch_axis]}) "
+                f"divisible by the mesh size ({n_dev}); use "
+                f"pad_to_batch / --batch_files at a multiple"
+            )
+        spec = [None] * arr.ndim
+        spec[batch_axis] = self.mesh.axis_names[0]
+        return jax.device_put(arr, NamedSharding(self.mesh, P(*spec)))
 
     def pack_submitted(self, codes_dev, lengths) -> list:
         """Host half of :meth:`compress_batch`: fetch the device codes of
@@ -250,9 +285,10 @@ class SoundStreamCompressor:
             rows.append(codes)
         if pad_to_batch and len(rows) < pad_to_batch:
             rows += [rows[0]] * (pad_to_batch - len(rows))
-        wavs = np.asarray(
-            self._decode(self.variables, np.stack(rows, axis=1))
-        )  # [B, T]
+        codes_b = np.stack(rows, axis=1)  # [n_q, B, frames]
+        if self.mesh is not None:
+            codes_b = self._shard(codes_b, batch_axis=1)
+        wavs = np.asarray(self._decode(self.variables, codes_b))  # [B, T]
         out = []
         for i, (_, meta) in enumerate(items):
             wav = wavs[i]

@@ -7,6 +7,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from academicodec_tpu.models.soundstream import SoundStream
 from academicodec_tpu.parallel import make_mesh, shard_batch
@@ -40,3 +41,44 @@ def test_sharded_encode_decode_equals_unsharded():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_ref), atol=1e-5, rtol=1e-5
     )
+
+
+def test_data_parallel_compressor_blobs_byte_identical():
+    """Corpus serving over the mesh (SoundStreamCompressor(mesh=...)): ECDC
+    blobs must be byte-identical to single-device serving and decode must
+    match — the graph is batch-pointwise, so GSPMD partitioning cannot
+    change per-item numerics. This is the multi-chip deployment mode of
+    cli/compress --data_parallel."""
+    from academicodec_tpu.codec.compress import SoundStreamCompressor
+
+    model = SoundStream(
+        n_filters=4, dimension=32, ratios=(8, 5, 4, 2), sample_rate=16000,
+        target_bandwidths=(1, 2, 4), bins=64,
+    )
+    rng = jax.random.PRNGKey(3)
+    variables = model.init(
+        {"params": rng, "rvq": rng}, jnp.zeros((1, 16000), jnp.float32),
+        n_q=model.n_q, training=False,
+    )
+    rng_np = np.random.default_rng(7)
+    wavs = [
+        (rng_np.standard_normal(T) * 0.1).astype(np.float32)
+        for T in (5000, 7000, 3000, 6400)
+    ]
+
+    plain = SoundStreamCompressor(model, variables, target_bw=4, bucket_seconds=0.5)
+    dp = SoundStreamCompressor(
+        model, variables, target_bw=4, bucket_seconds=0.5, mesh=make_mesh()
+    )
+    blobs_ref = plain.compress_batch(wavs, pad_to_batch=8)
+    blobs_dp = dp.compress_batch(wavs, pad_to_batch=8)
+    for got, want in zip(blobs_dp, blobs_ref):
+        assert got == want
+    outs_ref = plain.decompress_batch(blobs_ref, pad_to_batch=8)
+    outs_dp = dp.decompress_batch(blobs_dp, pad_to_batch=8)
+    for (a, sra), (b, srb) in zip(outs_dp, outs_ref):
+        assert sra == srb and a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        dp.compress_batch(wavs[:3], pad_to_batch=3)
