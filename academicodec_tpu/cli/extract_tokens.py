@@ -16,6 +16,7 @@ import argparse
 import functools
 import math
 import os
+import sys
 
 import jax
 import numpy as np
@@ -68,7 +69,15 @@ def get_args():
                         "are grouped by bucket count and partial groups are "
                         "batch-padded so the corpus reuses one executable "
                         "per bucket count")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each serving batch over all devices "
+                        "(jax.sharding.Mesh; params replicated). Requires "
+                        "--batch_files as a multiple of the device count. "
+                        "Tokens stay bit-exact (batch-pointwise graph, "
+                        "per-item masked GroupNorm stats)")
     args = p.parse_args()
+    if args.data_parallel and args.batch_files < 2:
+        p.error("--data_parallel needs --batch_files >= the device count")
     if args.bucket_seconds and (args.packed_conv or args.fused_resblock):
         p.error("--bucket_seconds needs the plain lowering: drop "
                 "--packed_conv/--fused_resblock (masked GroupNorm stats)")
@@ -95,7 +104,7 @@ def load_variables(path: str, model: VQVAE):
 
 
 def run_batched(args, cfg, model, variables, files, bucket,
-                encode_masked, decode, eval_frames, tokens_dict):
+                encode_masked, decode, eval_frames, tokens_dict, mesh=None):
     """Batched corpus extraction: one device encode (and one decode) per
     group of ``batch_files`` same-bucket files. Tokens are BIT-EXACT per
     item — the masked GroupNorm statistics are per-item, so a padded batch
@@ -108,6 +117,18 @@ def run_batched(args, cfg, model, variables, files, bucket,
     hop = int(np.prod(cfg.upsample_rates))
     bf = bucket // hop
     sr = args.sample_rate
+
+    def shard(arr):
+        """Data-parallel serving: batch dim over the mesh (no-op without
+        one). Bit-exactness holds — the masked-GroupNorm encode is
+        batch-pointwise, so GSPMD partitioning cannot mix items."""
+        if mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = [None] * arr.ndim
+        spec[0] = mesh.axis_names[0]
+        return jax.device_put(arr, NamedSharding(mesh, P(*spec)))
 
     @functools.lru_cache(maxsize=None)
     def decode_len(n: int) -> int:
@@ -131,7 +152,7 @@ def run_batched(args, cfg, model, variables, files, bucket,
             rows.append(np.zeros(Tpad, np.float32))
             lens.append(Tpad)
         return fids, Ts, encode_masked(
-            variables, np.stack(rows), np.array(lens, np.int32)
+            variables, shard(np.stack(rows)), shard(np.array(lens, np.int32))
         )
 
     def complete(submitted):
@@ -155,7 +176,7 @@ def run_batched(args, cfg, model, variables, files, bucket,
                 rows_c.append(cc)
             while len(rows_c) < args.batch_files:
                 rows_c.append(rows_c[0])
-            outs = np.asarray(decode(variables, np.stack(rows_c)))
+            outs = np.asarray(decode(variables, shard(np.stack(rows_c))))
             for i, (fid, c) in enumerate(items):
                 out = outs[i, : decode_len(c.shape[1])]
                 write_wav(os.path.join(args.outputdir, fid + ".wav"), out, sr)
@@ -234,8 +255,20 @@ def main():
     tokens_dict = {}
 
     if args.batch_files > 1:
+        mesh = None
+        if args.data_parallel:
+            from academicodec_tpu.parallel import make_mesh, replicate
+
+            mesh = make_mesh()
+            n_dev = mesh.devices.size
+            if args.batch_files % n_dev:
+                sys.exit(f"--batch_files {args.batch_files} must be a "
+                         f"multiple of the device count ({n_dev}) for "
+                         f"--data_parallel")
+            variables = replicate(variables, mesh)
         run_batched(args, cfg, model, variables, files, bucket,
-                    encode_masked, decode, eval_frames, tokens_dict)
+                    encode_masked, decode, eval_frames, tokens_dict,
+                    mesh=mesh)
         if args.tokens_out:
             np.savez(args.tokens_out, **tokens_dict)
             print(f"wrote {len(tokens_dict)} token tensors to {args.tokens_out}")

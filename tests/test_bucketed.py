@@ -278,11 +278,22 @@ def test_extract_tokens_cli_batched_matches_sequential(tmp_path, monkeypatch):
     ])
     cli.main()
 
+    # data-parallel serving (batch sharded over the 8-virtual-device mesh)
+    # must extract the same bit-exact tokens
+    monkeypatch.setattr(sys, "argv", base + [
+        "--outputdir", str(tmp_path / "out_d"),
+        "--tokens_out", str(tmp_path / "tok_d.npz"),
+        "--batch_files", "8", "--data_parallel", "--no_synth",
+    ])
+    cli.main()
+
     tb = np.load(tmp_path / "tok_b.npz")
     ts = np.load(tmp_path / "tok_s.npz")
-    assert sorted(tb.files) == sorted(ts.files)
+    td = np.load(tmp_path / "tok_d.npz")
+    assert sorted(tb.files) == sorted(ts.files) == sorted(td.files)
     for k in ts.files:
         np.testing.assert_array_equal(tb[k], ts[k])
+        np.testing.assert_array_equal(td[k], ts[k])
     from academicodec_tpu.data.wavio import read_wav
 
     for i in range(5):
