@@ -73,7 +73,18 @@ def get_args():
                         "--batch_files to be a multiple of the device "
                         "count. Blobs stay byte-identical to single-device "
                         "serving (batch-pointwise graph, no collectives)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="shard each file's TIME axis over all devices "
+                        "(GSPMD conv halo exchanges; parallel/sequence.py) "
+                        "— the multi-chip mode for FEW LONG files, where "
+                        "batch DP has nothing to shard. Tokens and blobs "
+                        "stay bit-exact (no cross-time reductions in "
+                        "serving). Mutually exclusive with --data_parallel")
     args = p.parse_args()
+    if args.sequence_parallel and args.data_parallel:
+        p.error("--sequence_parallel and --data_parallel are mutually "
+                "exclusive (shard time for few long files, batch for many "
+                "short ones)")
     if args.data_parallel and args.batch_files < 2:
         p.error("--data_parallel needs --batch_files >= the device count "
                 "(one batch row per device at minimum)")
@@ -176,17 +187,18 @@ def main():
         lm, lm_vars, lm_meta = load_lm(args.lm)
         lm_trained_frames = lm_meta.get("trained_frames")
     mesh = None
-    if args.data_parallel:
+    if args.data_parallel or args.sequence_parallel:
         from academicodec_tpu.parallel import make_mesh
 
         mesh = make_mesh()
         n_dev = mesh.devices.size
-        if args.batch_files % n_dev:
+        if args.data_parallel and args.batch_files % n_dev:
             sys.exit(f"--batch_files {args.batch_files} must be a multiple "
                      f"of the device count ({n_dev}) for --data_parallel")
     compressor = SoundStreamCompressor(
         model, variables, target_bw=args.target_bw, lm=lm, lm_variables=lm_vars,
         bucket_seconds=args.bucket_seconds, mesh=mesh,
+        shard_axis="time" if args.sequence_parallel else "batch",
     )
 
     os.makedirs(args.output, exist_ok=True)

@@ -69,6 +69,7 @@ class SoundStreamCompressor:
         lm_variables=None,
         bucket_seconds: Optional[float] = None,
         mesh=None,
+        shard_axis: str = "batch",
     ):
         import jax
 
@@ -83,6 +84,17 @@ class SoundStreamCompressor:
         # unsharded path (tests/test_sharded_serving.py). The reference's
         # only serving mode is one file per call on one device
         # (test.py:102-123).
+        #
+        # ``shard_axis="time"`` instead shards the TIME axis over the mesh
+        # (sequence-parallel serving, parallel/sequence.py): one long
+        # stream's latency scales with chips via GSPMD conv halo exchanges.
+        # Tokens — and therefore blobs — stay bit-exact (serving has no
+        # cross-time reductions; tests/test_sharded_serving.py).
+        if shard_axis not in ("batch", "time"):
+            raise ValueError(
+                f"shard_axis must be 'batch' or 'time', got {shard_axis!r}"
+            )
+        self.shard_axis = shard_axis
         self.mesh = mesh
         if mesh is not None:
             from academicodec_tpu.parallel import replicate
@@ -189,14 +201,19 @@ class SoundStreamCompressor:
             # anyway, and a bf16 wire format halves the upload
             batch = batch.astype(self.model.dtype)
         if self.mesh is not None:
-            batch = self._shard(batch, batch_axis=0)
+            batch = self._shard(batch, batch_axis=0, time_axis=1)
         return self._encode(self.variables, batch)  # [n_q, B, frames]
 
-    def _shard(self, arr: np.ndarray, batch_axis: int):
-        """Device-put ``arr`` with ``batch_axis`` sharded over the mesh."""
+    def _shard(self, arr: np.ndarray, batch_axis: int, time_axis: int):
+        """Device-put ``arr`` sharded over the mesh on the configured axis
+        (``shard_axis``: batch DP or sequence-parallel time sharding)."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if self.shard_axis == "time":
+            from academicodec_tpu.parallel.sequence import shard_time
+
+            return shard_time(arr, self.mesh, time_dim=time_axis)
         n_dev = self.mesh.devices.size
         if arr.shape[batch_axis] % n_dev:
             raise ValueError(
@@ -287,7 +304,7 @@ class SoundStreamCompressor:
             rows += [rows[0]] * (pad_to_batch - len(rows))
         codes_b = np.stack(rows, axis=1)  # [n_q, B, frames]
         if self.mesh is not None:
-            codes_b = self._shard(codes_b, batch_axis=1)
+            codes_b = self._shard(codes_b, batch_axis=1, time_axis=2)
         wavs = np.asarray(self._decode(self.variables, codes_b))  # [B, T]
         out = []
         for i, (_, meta) in enumerate(items):

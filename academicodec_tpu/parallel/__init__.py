@@ -5,3 +5,9 @@ from academicodec_tpu.parallel.mesh import (
     data_sharding,
     replicated_sharding,
 )
+from academicodec_tpu.parallel.sequence import (
+    TimeShardedSoundStream,
+    TimeShardedVQVAE,
+    shard_time,
+    time_sharding,
+)
