@@ -75,9 +75,23 @@ def get_args():
                         "--batch_files as a multiple of the device count. "
                         "Tokens stay bit-exact (batch-pointwise graph, "
                         "per-item masked GroupNorm stats)")
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="shard each file's TIME axis over all devices "
+                        "(GSPMD conv halo exchanges; parallel/sequence.py) "
+                        "— the multi-chip mode for FEW LONG files (e.g. "
+                        "audiobook token extraction), where batch DP has "
+                        "nothing to shard. Sequential path only (no "
+                        "--batch_files); needs the plain lowering")
     args = p.parse_args()
     if args.data_parallel and args.batch_files < 2:
         p.error("--data_parallel needs --batch_files >= the device count")
+    if args.sequence_parallel and (args.data_parallel or args.batch_files > 1):
+        p.error("--sequence_parallel shards time, not batch: drop "
+                "--batch_files/--data_parallel")
+    if args.sequence_parallel and (args.packed_conv or args.fused_resblock):
+        p.error("--sequence_parallel needs the plain lowering: drop "
+                "--packed_conv/--fused_resblock (lanes-packing folds time "
+                "into channels, defeating spatial partitioning)")
     if args.bucket_seconds and (args.packed_conv or args.fused_resblock):
         p.error("--bucket_seconds needs the plain lowering: drop "
                 "--packed_conv/--fused_resblock (masked GroupNorm stats)")
@@ -274,6 +288,23 @@ def main():
             print(f"wrote {len(tokens_dict)} token tensors to {args.tokens_out}")
         return
 
+    mesh_sp = None
+    if args.sequence_parallel:
+        from academicodec_tpu.parallel import make_mesh, replicate
+
+        mesh_sp = make_mesh()
+        variables = replicate(variables, mesh_sp)
+
+    def sp(arr):
+        """Sequence-parallel serving: time axis (dim 1) over the mesh
+        (no-op without one). Tokens stay bit-exact — serving has no
+        cross-time reductions (tests/test_sharded_serving.py)."""
+        if mesh_sp is None:
+            return arr
+        from academicodec_tpu.parallel.sequence import shard_time
+
+        return shard_time(arr, mesh_sp, time_dim=1)
+
     for path in files:
         fid = os.path.splitext(os.path.basename(path))[0]
         wav, sr = read_wav(path, sr=args.sample_rate)
@@ -287,13 +318,13 @@ def main():
             codes = np.asarray(
                 encode_masked(
                     variables,
-                    np.pad(wav, (0, B - T))[None, :],
+                    sp(np.pad(wav, (0, B - T))[None, :]),
                     np.array([T], np.int32),
                 )
             )
             codes = codes[:, :n_exact, :]
         else:
-            codes = np.asarray(encode(variables, wav[None, :]))
+            codes = np.asarray(encode(variables, sp(wav[None, :])))
         tokens_dict[fid] = codes
         if not args.no_synth:
             if bucket:
@@ -312,9 +343,9 @@ def main():
                     variables,
                     jax.ShapeDtypeStruct(codes.shape, codes.dtype),
                 ).shape[-1]
-                out = np.asarray(decode(variables, padded))[0, :out_len]
+                out = np.asarray(decode(variables, sp(padded)))[0, :out_len]
             else:
-                out = np.asarray(decode(variables, codes))[0]
+                out = np.asarray(decode(variables, sp(codes)))[0]
             write_wav(os.path.join(args.outputdir, fid + ".wav"), out, sr)
         print(f"{fid}: tokens {codes.shape}")
     if args.tokens_out:

@@ -287,13 +287,25 @@ def test_extract_tokens_cli_batched_matches_sequential(tmp_path, monkeypatch):
     ])
     cli.main()
 
+    # sequence-parallel serving (each file's TIME axis sharded over the
+    # 8-virtual-device mesh) must also extract the same bit-exact tokens
+    monkeypatch.setattr(sys, "argv", base + [
+        "--outputdir", str(tmp_path / "out_t"),
+        "--tokens_out", str(tmp_path / "tok_t.npz"),
+        "--sequence_parallel", "--no_synth",
+    ])
+    cli.main()
+
     tb = np.load(tmp_path / "tok_b.npz")
     ts = np.load(tmp_path / "tok_s.npz")
     td = np.load(tmp_path / "tok_d.npz")
-    assert sorted(tb.files) == sorted(ts.files) == sorted(td.files)
+    tt = np.load(tmp_path / "tok_t.npz")
+    assert (sorted(tb.files) == sorted(ts.files) == sorted(td.files)
+            == sorted(tt.files))
     for k in ts.files:
         np.testing.assert_array_equal(tb[k], ts[k])
         np.testing.assert_array_equal(td[k], ts[k])
+        np.testing.assert_array_equal(tt[k], ts[k])
     from academicodec_tpu.data.wavio import read_wav
 
     for i in range(5):
