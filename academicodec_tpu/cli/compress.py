@@ -85,6 +85,10 @@ def get_args():
         p.error("--sequence_parallel and --data_parallel are mutually "
                 "exclusive (shard time for few long files, batch for many "
                 "short ones)")
+    if args.sequence_parallel and args.packed_conv:
+        p.error("--sequence_parallel needs the plain lowering: drop "
+                "--packed_conv (lanes-packing folds time into channels, "
+                "defeating spatial partitioning)")
     if args.data_parallel and args.batch_files < 2:
         p.error("--data_parallel needs --batch_files >= the device count "
                 "(one batch row per device at minimum)")

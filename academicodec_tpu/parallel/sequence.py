@@ -54,8 +54,7 @@ def shard_time(x: Any, mesh: Mesh, time_dim: int = 1, axis: str = "data"):
     constraint the jitted graph's other operands provide.
     """
     x = np.asarray(x)
-    n = int(np.prod([d for name, d in zip(mesh.axis_names, mesh.devices.shape)
-                     if name == axis] or [mesh.devices.size]))
+    n = int(mesh.shape[axis])
     if x.shape[time_dim] % n:
         return jax.device_put(x, NamedSharding(mesh, P()))
     return jax.device_put(x, time_sharding(mesh, x.ndim, time_dim, axis))
