@@ -72,6 +72,17 @@ def main():
                         "(train/*.py mixed_precision) — measures both the "
                         "step-time win and the metric trajectory under MP")
     p.add_argument("--accum_steps", type=int, default=1)
+    p.add_argument("--save_state", type=str, default=None,
+                   help="directory: also save the FULL train state "
+                        "(generator + discriminators + both optimizers + "
+                        "EMA/spectral state) so a later run can extend "
+                        "this one with --resume_state instead of "
+                        "restarting the adversarial game")
+    p.add_argument("--resume_state", type=str, default=None,
+                   help="path to a --save_state checkpoint "
+                        "(state_<family>_<step>): continue training from "
+                        "it; --steps counts ADDITIONAL steps and the data "
+                        "stream is re-seeded at the resume step")
     p.add_argument("--eval_nq", type=int, default=0,
                    help="with --eval_ckpt (encodec only): add a row decoding "
                         "with only the first N codebooks (N kbps at 24k_240d) "
@@ -130,10 +141,21 @@ def main():
             )
             return g_x
 
-    rng = np.random.default_rng(0)
+    start_step = 0
+    if args.resume_state:
+        start_step = int(args.resume_state.rsplit("_", 1)[-1])
+    # re-seed the synthetic data stream at the resume step so a resumed run
+    # sees fresh draws (NOT a replay of steps 1..start); a fresh run keeps
+    # the round-2 deterministic trajectory (seed 0)
+    rng = np.random.default_rng(start_step)
     state = trainer.init_state(  # jits itself on non-CPU backends
         jax.random.PRNGKey(0), jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
     )
+    if args.resume_state:
+        from academicodec_tpu.utils.checkpoint import load_checkpoint
+
+        state = load_checkpoint(args.resume_state, template=jax.device_get(state))
+        state = jax.device_put(state)
 
     held_out = speechlike_batch(np.random.default_rng(12345), args.batch, seg, sr)
     held_out_dev = jnp.asarray(held_out)
@@ -170,7 +192,7 @@ def main():
     history = []
     t_start = time.perf_counter()
     m0 = eval_metrics(state)
-    m0["step"] = 0
+    m0["step"] = start_step
     history.append(m0)
     print(json.dumps(m0), flush=True)
 
@@ -230,10 +252,10 @@ def main():
         return
 
     t_step = None
-    for step in range(1, args.steps + 1):
+    for step in range(start_step + 1, start_step + args.steps + 1):
         batch = jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
         state, metrics = trainer.train_step(state, batch)
-        if step == 1:
+        if step == start_step + 1:
             np.asarray(metrics[loss_key])  # force compile + first dispatch
             t_step = time.perf_counter()
         if step % args.eval_every == 0:
@@ -243,13 +265,21 @@ def main():
             history.append(row)
             print(json.dumps(row), flush=True)
 
+    final_step = start_step + args.steps
     if args.save_path:
         from academicodec_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(
-            args.save_path, f"val_{args.family}", args.steps,
+            args.save_path, f"val_{args.family}", final_step,
             {"g_params": jax.device_get(state.g_params),
              "g_extra": jax.device_get(state.g_extra)},
+        )
+    if args.save_state:
+        from academicodec_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            args.save_state, f"state_{args.family}", final_step,
+            jax.device_get(state),
         )
 
     steady = (time.perf_counter() - t_step) / max(args.steps - 1, 1)
