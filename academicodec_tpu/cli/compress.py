@@ -142,6 +142,33 @@ def prefetch_reads(paths, sr: int, depth: int = 8):
             yield path, fut.result()[0]
 
 
+def pipelined_groups(items, group_key, group_size, submit, complete):
+    """Software-pipelined grouped serving (shared by cli/compress and
+    cli/extract_tokens): collect ``(tag, wav)`` pairs into groups of
+    ``group_size`` keyed by ``group_key(wav)`` (one padded device shape per
+    group), dispatch each group with ``submit`` (async device work), and
+    run the host half (``complete``) one group BEHIND — so group N's
+    transfer + device compute overlap group N-1's host-side pack/decode/
+    write. Trailing partial groups flush in insertion order."""
+    pending: dict = {}
+    inflight = None
+    for tag, wav in items:
+        key = group_key(wav)
+        pending.setdefault(key, []).append((tag, wav))
+        if len(pending[key]) >= group_size:
+            submitted = submit(pending.pop(key))
+            if inflight is not None:
+                complete(inflight)
+            inflight = submitted
+    for group in pending.values():
+        submitted = submit(group)
+        if inflight is not None:
+            complete(inflight)
+        inflight = submitted
+    if inflight is not None:
+        complete(inflight)
+
+
 def load_model_variables(path: str, model: SoundStream):
     if os.path.isfile(path) and path.endswith((".pth", ".pt")):
         import torch
@@ -241,43 +268,35 @@ def main():
             print(f"{name}: {len(blob)} bytes "
                   f"({8 * len(blob) / (len(wav) / args.sr) / 1000:.2f} kbps)")
 
-    # groups keyed by bucket count so every device batch has one padded
-    # length; reads are prefetched on a worker thread, and encodes run one
-    # group ahead (submit_encode is async) so the next group's transfer +
-    # device compute overlap this group's host-side pack/decode/write
-    pending: dict = {}
-    inflight = None
-    for path, wav in prefetch_reads(
-        [os.path.join(args.input, n) for n in names],
-        args.sr,
-        depth=2 * args.batch_files,
-    ):
-        name = os.path.basename(path)
-        warn_lm(name, len(wav))
-        key = (
-            -(-len(wav) // compressor.bucket) if compressor.bucket else len(wav)
-        )
-        pending.setdefault(key, []).append((name, wav))
-        if len(pending[key]) >= args.batch_files:
-            gnames, wavs = zip(*pending.pop(key))
-            submitted = (
-                gnames, wavs,
-                compressor.submit_encode(list(wavs), pad_to_batch=args.batch_files),
-            )
-            if inflight is not None:
-                complete(inflight)
-            inflight = submitted
-    for group in pending.values():
+    def submit(group):
         gnames, wavs = zip(*group)
-        submitted = (
+        return (
             gnames, wavs,
             compressor.submit_encode(list(wavs), pad_to_batch=args.batch_files),
         )
-        if inflight is not None:
-            complete(inflight)
-        inflight = submitted
-    if inflight is not None:
-        complete(inflight)
+
+    def named_reads():
+        for path, wav in prefetch_reads(
+            [os.path.join(args.input, n) for n in names],
+            args.sr,
+            depth=2 * args.batch_files,
+        ):
+            name = os.path.basename(path)
+            warn_lm(name, len(wav))
+            yield name, wav
+
+    # groups keyed by bucket count so every device batch has one padded
+    # length; reads are prefetched on a worker thread (see pipelined_groups
+    # for the one-group-ahead overlap)
+    pipelined_groups(
+        named_reads(),
+        lambda wav: (
+            -(-len(wav) // compressor.bucket) if compressor.bucket else len(wav)
+        ),
+        args.batch_files,
+        submit,
+        complete,
+    )
 
 
 if __name__ == "__main__":

@@ -126,7 +126,7 @@ def run_batched(args, cfg, model, variables, files, bucket,
     test_masked_encode_batches_variable_lengths). The eager reference serves
     files one by one (vqvae_tester.py:16-37); batch 1 leaves a TPU chip at
     its dispatch floor."""
-    from academicodec_tpu.cli.compress import prefetch_reads
+    from academicodec_tpu.cli.compress import pipelined_groups, prefetch_reads
 
     hop = int(np.prod(cfg.upsample_rates))
     bf = bucket // hop
@@ -197,27 +197,18 @@ def run_batched(args, cfg, model, variables, files, bucket,
         for fid, c in items:
             print(f"{fid}: tokens {c.shape}")
 
-    pending: dict = {}
-    inflight = None
-    for path, wav in prefetch_reads(files, sr, depth=2 * args.batch_files):
-        fid = os.path.splitext(os.path.basename(path))[0]
-        if args.normalize:
-            peak = np.abs(wav).max() or 1.0
-            wav = wav / peak * 0.95
-        key = -(-len(wav) // bucket)
-        pending.setdefault(key, []).append((fid, wav))
-        if len(pending[key]) >= args.batch_files:
-            submitted = submit(pending.pop(key))
-            if inflight is not None:
-                complete(inflight)
-            inflight = submitted
-    for group in pending.values():
-        submitted = submit(group)
-        if inflight is not None:
-            complete(inflight)
-        inflight = submitted
-    if inflight is not None:
-        complete(inflight)
+    def tagged_reads():
+        for path, wav in prefetch_reads(files, sr, depth=2 * args.batch_files):
+            fid = os.path.splitext(os.path.basename(path))[0]
+            if args.normalize:
+                peak = np.abs(wav).max() or 1.0
+                wav = wav / peak * 0.95
+            yield fid, wav
+
+    pipelined_groups(
+        tagged_reads(), lambda wav: -(-len(wav) // bucket),
+        args.batch_files, submit, complete,
+    )
 
 
 def main():
@@ -244,6 +235,13 @@ def main():
         from academicodec_tpu.models.hificodec import calibrate_quant
 
         wav0, _ = read_wav(files[0], sr=args.sample_rate)
+        if args.normalize:
+            # calibrate on what the model will actually see: the serving
+            # path peak-normalizes every input below, so un-normalized
+            # calibration would mis-scale the static activation ranges
+            # (clipping quiet-first corpora, wasting range on loud ones)
+            peak = np.abs(wav0).max() or 1.0
+            wav0 = wav0 / peak * 0.95
         variables = calibrate_quant(model, variables, wav0[None, :])
 
     encode = jax.jit(lambda v, w: model.apply(v, w, method=VQVAE.encode))
@@ -297,8 +295,11 @@ def main():
 
     def sp(arr):
         """Sequence-parallel serving: time axis (dim 1) over the mesh
-        (no-op without one). Tokens stay bit-exact — serving has no
-        cross-time reductions (tests/test_sharded_serving.py)."""
+        (no-op without one). The encoder GroupNorms reduce over the
+        sharded axis, so latents match unsharded serving to float
+        tolerance and tokens are exact-to-argmin, not guaranteed
+        bit-exact (parallel/sequence.py; tests/test_sharded_serving.py
+        observes bit-exact tokens at f32/HIGHEST)."""
         if mesh_sp is None:
             return arr
         from academicodec_tpu.parallel.sequence import shard_time

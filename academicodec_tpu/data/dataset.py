@@ -106,7 +106,13 @@ class WavCropDataset:
         rng = item_rng(self.seed, epoch, item)
         x = self._load_crop(self.files[index % len(self.files)], rng)
         if self.mixture_prob > 0:
-            if rng.uniform53() < self.mixture_prob:
+            # compare at float32: the native loader receives mixture_prob as
+            # a C float (wavloader.cpp:154, c_float in native_loader.py), so
+            # its threshold is double(float(p)); a float64 threshold here
+            # would disagree for draws in [float32(p), p) and desynchronize
+            # every later draw — breaking the bit-identical loader contract
+            # (tests/test_loader_equivalence.py)
+            if rng.uniform53() < float(np.float32(self.mixture_prob)):
                 other = rng.next() % len(self.files)
                 x = x + self._load_crop(self.files[other], rng)
         return x

@@ -271,10 +271,17 @@ class GroupNormTorch(nn.Module):
             mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
             var = jnp.var(xg, axis=(1, 3), keepdims=True)
         else:
-            m = mask[..., None]  # [B, T, 1, 1]
-            n = (count.astype(x.dtype) * (C // g)).reshape(B, 1, 1, 1)
-            mean = jnp.sum(xg * m, axis=(1, 3), keepdims=True) / n
-            var = jnp.sum(jnp.square(xg - mean) * m, axis=(1, 3), keepdims=True) / n
+            # masked statistics accumulate in f32: the valid-element count
+            # (count * C/g, ~1e4 for 10 s inputs) is not representable in
+            # bf16 and the long masked sums would lose the very exactness
+            # the lengths= path exists for; a no-op at f32 serving precision
+            m = mask[..., None].astype(jnp.float32)  # [B, T, 1, 1]
+            xf = xg.astype(jnp.float32)
+            n = (count.astype(jnp.float32) * (C // g)).reshape(B, 1, 1, 1)
+            mean = jnp.sum(xf * m, axis=(1, 3), keepdims=True) / n
+            var = jnp.sum(jnp.square(xf - mean) * m, axis=(1, 3), keepdims=True) / n
+            mean = mean.astype(x.dtype)
+            var = var.astype(x.dtype)
         xg = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
         return xg.reshape(B, T, C) * scale + bias
 

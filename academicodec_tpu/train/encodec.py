@@ -47,7 +47,13 @@ from academicodec_tpu.nn.discriminators import (
     MultiScaleDiscriminator,
     MultiScaleSTFTDiscriminator,
 )
-from academicodec_tpu.train.state import GANTrainState, make_optimizer, set_learning_rate
+from academicodec_tpu.train.state import (
+    GANTrainState,
+    f32_cast,
+    make_optimizer,
+    mp_cast,
+    set_learning_rate,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -194,22 +200,11 @@ class EncodecTrainer:
 
     # ------------------------------------------------------------------
     def _mp(self, tree):
-        """bf16 view of the f32 leaves under ``mixed_precision`` (the cast
-        is differentiable, so grads land back on the f32 master weights)."""
-        if not self.cfg.mixed_precision:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
-            tree,
-        )
+        """bf16 view under ``mixed_precision`` (shared cast: train/state.py)."""
+        return mp_cast(tree, self.cfg.mixed_precision)
 
     def _f32(self, tree):
-        if not self.cfg.mixed_precision:
-            return tree
-        return jax.tree_util.tree_map(
-            lambda t: t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t,
-            tree,
-        )
+        return f32_cast(tree, self.cfg.mixed_precision)
 
     def _gen_forward(self, params, extra, x, n_q, rng):
         # under mixed_precision the forward runs bf16 (params + waveform

@@ -25,6 +25,27 @@ def make_optimizer(
     return optax.inject_hyperparams(opt_cls)(learning_rate=learning_rate, b1=b1, b2=b2)
 
 
+def mp_cast(tree: Any, enabled: bool = True) -> Any:
+    """bf16 view of a tree's f32 leaves under ``mixed_precision`` (the cast
+    is differentiable, so grads land back on the f32 master weights)."""
+    if not enabled:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.bfloat16) if t.dtype == jnp.float32 else t,
+        tree,
+    )
+
+
+def f32_cast(tree: Any, enabled: bool = True) -> Any:
+    """Inverse of :func:`mp_cast`: upcast bf16 leaves so losses reduce f32."""
+    if not enabled:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda t: t.astype(jnp.float32) if t.dtype == jnp.bfloat16 else t,
+        tree,
+    )
+
+
 def set_learning_rate(opt_state, lr: float):
     """Write a new learning rate into an inject_hyperparams state."""
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)

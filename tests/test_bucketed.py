@@ -344,3 +344,57 @@ def test_masked_encode_batches_variable_lengths():
         ).shape[1]
         alone = np.asarray(encode(variables, w[None, :]))
         np.testing.assert_array_equal(alone[0], codes[i, :n, :])
+
+
+def test_masked_groupnorm_bf16_stats_accumulate_f32():
+    """Masked GroupNorm statistics must not degrade at bf16 activation
+    dtype: the valid-element count (~1e4 for 10 s inputs, not bf16-
+    representable) and the long masked sums accumulate in f32 regardless
+    of x.dtype (nn/hifigan.py GroupNormTorch)."""
+    import jax.numpy as jnp
+
+    from academicodec_tpu.nn.hifigan import GroupNormTorch
+
+    B, T, C, g = 2, 12000, 32, 8
+    rng_np = np.random.default_rng(7)
+    x = (rng_np.standard_normal((B, T, C)) * 0.5 + 0.3).astype(np.float32)
+    lengths = np.array([11777, 9000], np.int32)
+    mask = (np.arange(T)[None, :] < lengths[:, None]).astype(np.float32)[..., None]
+    gn = GroupNormTorch(num_groups=g, channels=C)
+    variables = gn.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(
+        gn.apply(variables, x, mask=jnp.asarray(mask), count=jnp.asarray(lengths))
+    )
+    out = np.asarray(
+        gn.apply(
+            variables,
+            jnp.asarray(x, jnp.bfloat16),
+            mask=jnp.asarray(mask, jnp.bfloat16),
+            count=jnp.asarray(lengths),
+        ),
+        np.float32,
+    )
+    err = np.abs(out - ref)[mask[..., 0] > 0]
+    assert err.max() < 0.045, err.max()
+
+
+def test_pipelined_groups_covers_all_items_once():
+    """The shared serving pipeline (cli/compress.pipelined_groups) must
+    complete every submitted group exactly once, keep groups key-
+    homogeneous and <= group_size, and flush trailing partial groups."""
+    from academicodec_tpu.cli.compress import pipelined_groups
+
+    items = [(f"f{i}", "x" * (1 + i % 3)) for i in range(11)]
+    submitted, completed = [], []
+
+    def submit(group):
+        tags = tuple(t for t, _ in group)
+        keys = {len(w) for _, w in group}
+        assert len(keys) == 1 and len(group) <= 4
+        submitted.append(tags)
+        return tags
+
+    pipelined_groups(items, lambda w: len(w), 4, submit, completed.append)
+    assert completed == submitted
+    flat = [t for grp in completed for t in grp]
+    assert sorted(flat) == sorted(t for t, _ in items)
