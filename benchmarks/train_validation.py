@@ -143,6 +143,15 @@ def main():
 
     start_step = 0
     if args.resume_state:
+        # accept either a checkpoint path (state_<family>_<step>) or a
+        # --save_state directory (resume from its latest checkpoint); an
+        # orbax checkpoint is itself a directory, so detect the parent by
+        # whether it CONTAINS state_<family>_* children
+        from academicodec_tpu.utils.checkpoint import scan_checkpoint
+
+        latest = scan_checkpoint(args.resume_state, f"state_{args.family}")
+        if latest:
+            args.resume_state = latest
         start_step = int(args.resume_state.rsplit("_", 1)[-1])
     # re-seed the synthetic data stream at the resume step so a resumed run
     # sees fresh draws (NOT a replay of steps 1..start); a fresh run keeps
@@ -161,15 +170,16 @@ def main():
     held_out_dev = jnp.asarray(held_out)
 
     def metrics_from_rec(rec):
+        n_ev = min(4, rec.shape[0])  # metrics on (up to) 4 held-out items
         row = {
             "si_snr": round(si_snr(rec, held_out), 3),
             "mel_l1": round(
-                float(np.mean([mel_distance(rec[i], held_out[i], sr) for i in range(4)])), 4
+                float(np.mean([mel_distance(rec[i], held_out[i], sr) for i in range(n_ev)])), 4
             ),
         }
         try:
             row["stoi"] = round(
-                float(np.mean([stoi_score(rec[i], held_out[i], sr) for i in range(4)])), 4
+                float(np.mean([stoi_score(rec[i], held_out[i], sr) for i in range(n_ev)])), 4
             )
         except ValueError:
             row["stoi"] = float("nan")
@@ -178,7 +188,7 @@ def main():
             # native P.862.2 wideband, resample-to-16k convention
             row["pesq_wb"] = round(
                 float(np.mean(
-                    [pesq_score(rec[i], held_out[i], sr)["pesq_wb"] for i in range(4)]
+                    [pesq_score(rec[i], held_out[i], sr)["pesq_wb"] for i in range(n_ev)]
                 )), 3
             )
         except Exception:
@@ -264,6 +274,16 @@ def main():
             row.update(step=step, loss_g=round(loss_g, 2))
             history.append(row)
             print(json.dumps(row), flush=True)
+            if args.save_state:
+                # checkpoint every eval point (rotated, keep-5) so an
+                # interrupted long run resumes from the last eval rather
+                # than restarting the adversarial game from scratch
+                from academicodec_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    args.save_state, f"state_{args.family}", step,
+                    jax.device_get(state),
+                )
 
     final_step = start_step + args.steps
     if args.save_path:
