@@ -152,7 +152,14 @@ def main():
         latest = scan_checkpoint(args.resume_state, f"state_{args.family}")
         if latest:
             args.resume_state = latest
-        start_step = int(args.resume_state.rsplit("_", 1)[-1])
+        tail = args.resume_state.rstrip("/").rsplit("_", 1)[-1]
+        if not tail.isdigit():
+            raise SystemExit(
+                f"--resume_state: no state_{args.family}_* checkpoints found "
+                f"in '{args.resume_state}' (empty/fresh directory, or wrong "
+                f"--family?) and it is not itself a checkpoint path"
+            )
+        start_step = int(tail)
     # re-seed the synthetic data stream at the resume step so a resumed run
     # sees fresh draws (NOT a replay of steps 1..start); a fresh run keeps
     # the round-2 deterministic trajectory (seed 0)
@@ -294,7 +301,9 @@ def main():
             {"g_params": jax.device_get(state.g_params),
              "g_extra": jax.device_get(state.g_extra)},
         )
-    if args.save_state:
+    if args.save_state and final_step % args.eval_every != 0:
+        # the eval loop already wrote final_step when it divides eval_every —
+        # don't device_get + rewrite a multi-hundred-MB state twice
         from academicodec_tpu.utils.checkpoint import save_checkpoint
 
         save_checkpoint(
