@@ -33,6 +33,18 @@ def get_args():
     p.add_argument("--input", type=str, required=True, help="wav dir or filelist")
     p.add_argument("--outputdir", type=str, required=True)
     p.add_argument("--tokens_out", type=str, default=None, help=".npz path for tokens")
+    p.add_argument("--tokens_ecdc", type=str, default=None,
+                   help="directory: also write one entropy-codable "
+                        "<fid>.ecdc token blob per file (raw 10-bit packing, "
+                        "or LM entropy coding with --lm when that is "
+                        "smaller; decode via "
+                        "codec.compress.decompress_tokens -> [n_q, T] in "
+                        "the [l0g0,l0g1,l1g0,l1g1] stream order)")
+    p.add_argument("--lm", type=str, default=None,
+                   help="GRVQ token-LM checkpoint dir (cli/train_lm.py "
+                        "--family hificodec) for entropy-coded --tokens_ecdc "
+                        "blobs; per-stream expansion guard falls back to raw "
+                        "packing whenever the LM coding would be larger")
     p.add_argument("--sample_rate", type=int, default=24000)
     p.add_argument("--no_synth", action="store_true", help="tokens only")
     p.add_argument("--normalize", action="store_true",
@@ -83,6 +95,8 @@ def get_args():
                         "nothing to shard. Sequential path only (no "
                         "--batch_files); needs the plain lowering")
     args = p.parse_args()
+    if args.lm and not args.tokens_ecdc:
+        p.error("--lm entropy-codes --tokens_ecdc blobs: pass --tokens_ecdc")
     if args.data_parallel and args.batch_files < 2:
         p.error("--data_parallel needs --batch_files >= the device count")
     if args.sequence_parallel and (args.data_parallel or args.batch_files > 1):
@@ -211,6 +225,38 @@ def run_batched(args, cfg, model, variables, files, bucket,
     )
 
 
+def write_tokens_ecdc(args, cfg, tokens_dict, lm=None, lm_variables=None):
+    """One ECDC token blob per file: GRVQ streams [n_q, T] packed raw at
+    ceil(log2(n_codes)) bits, or LM-entropy-coded when --lm makes the blob
+    SMALLER (codec.compress.compress_tokens_guarded — never expands)."""
+    from academicodec_tpu.codec.compress import compress_tokens_guarded
+
+    bits = max(1, math.ceil(math.log2(cfg.n_codes)))
+    os.makedirs(args.tokens_ecdc, exist_ok=True)
+    raw_bits_per = bits * 2 * cfg.n_code_groups
+    total = lm_used = 0
+    for fid, toks in tokens_dict.items():
+        c = np.asarray(toks)[0].T.astype(np.int32)  # [n_q, T], [l0g0,l0g1,l1g0,l1g1]
+        blob = compress_tokens_guarded(
+            c,
+            bits_per_codebook=bits,
+            metadata=dict(model="hificodec", sr=int(args.sample_rate)),
+            lm=lm,
+            lm_variables=lm_variables,
+        )
+        with open(os.path.join(args.tokens_ecdc, fid + ".ecdc"), "wb") as fh:
+            fh.write(blob)
+        bpt = len(blob) * 8 / c.size
+        total += 1
+        if lm is not None and bpt < bits:
+            lm_used += 1
+        print(f"{fid}: {len(blob)} bytes, {bpt:.2f} bits/token "
+              f"(raw {raw_bits_per / (2 * cfg.n_code_groups):.0f})")
+    if lm is not None:
+        print(f"tokens_ecdc: LM coding won on {lm_used}/{total} files "
+              f"(raw fallback on the rest — expansion guard)")
+
+
 def main():
     args = get_args()
     import json
@@ -222,6 +268,20 @@ def main():
         fused_resblock=args.fused_resblock,
         int8_min_channels=args.int8_min_channels,
     )
+    lm = lm_variables = None
+    if args.lm:  # validate before the (slow) checkpoint load
+        from academicodec_tpu.cli.train_lm import load_lm
+
+        lm, lm_variables, lm_meta = load_lm(args.lm)
+        fam = lm_meta.get("family")
+        if fam not in (None, "hificodec"):
+            sys.exit(f"--lm checkpoint models '{fam}' token streams, not GRVQ "
+                     f"(train with cli/train_lm.py --family hificodec)")
+        expect_nq = 2 * cfg.n_code_groups
+        if lm.n_q != expect_nq or lm.bins != cfg.n_codes:
+            sys.exit(f"--lm shape mismatch: LM (n_q={lm.n_q}, bins={lm.bins}) "
+                     f"vs model (n_q={expect_nq}, bins={cfg.n_codes})")
+
     variables = load_variables(args.model_path, model)
     if args.fold_weight_norm:
         from academicodec_tpu.utils.fold import fold_vqvae
@@ -284,6 +344,8 @@ def main():
         if args.tokens_out:
             np.savez(args.tokens_out, **tokens_dict)
             print(f"wrote {len(tokens_dict)} token tensors to {args.tokens_out}")
+        if args.tokens_ecdc:
+            write_tokens_ecdc(args, cfg, tokens_dict, lm=lm, lm_variables=lm_variables)
         return
 
     mesh_sp = None
@@ -352,6 +414,8 @@ def main():
     if args.tokens_out:
         np.savez(args.tokens_out, **tokens_dict)
         print(f"wrote {len(tokens_dict)} token tensors to {args.tokens_out}")
+    if args.tokens_ecdc:
+        write_tokens_ecdc(args, cfg, tokens_dict, lm=lm, lm_variables=lm_variables)
 
 
 if __name__ == "__main__":

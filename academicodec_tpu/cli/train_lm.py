@@ -21,6 +21,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from academicodec_tpu.data.dataset import WavCropDataset, batch_iterator
@@ -34,6 +35,13 @@ def get_args():
     p = argparse.ArgumentParser("train_lm")
     p.add_argument("--train_data_path", type=str, required=True)
     p.add_argument("--resume_path", type=str, required=True, help="codec checkpoint")
+    p.add_argument("--family", choices=("encodec", "hificodec"), default="encodec",
+                   help="token source: 'encodec' models the SoundStream RVQ "
+                        "streams at --target_bw; 'hificodec' models the GRVQ "
+                        "4-stream tokens ([B,T,4] contract, reference "
+                        "vqvae.py:43-45) — requires --hifi_config")
+    p.add_argument("--hifi_config", type=str, default=None,
+                   help="HiFi-Codec model config JSON (with --family hificodec)")
     # codec config (must match the checkpoint)
     p.add_argument("--sr", type=int, default=16000)
     p.add_argument("--ratios", type=int, nargs="+", default=[8, 5, 4, 2])
@@ -72,11 +80,20 @@ def get_args():
     return p.parse_args()
 
 
-def lm_config_dict(cfg: LMTrainConfig, trained_frames: int | None = None) -> dict:
+def lm_config_dict(
+    cfg: LMTrainConfig,
+    trained_frames: int | None = None,
+    family: str | None = None,
+) -> dict:
     out = dict(
         n_q=cfg.n_q, bins=cfg.bins, dim=cfg.dim, num_heads=cfg.num_heads,
         num_layers=cfg.num_layers, past_context=cfg.past_context,
     )
+    if family is not None:
+        # not a model-constructor arg (load_lm pops it): which codec's token
+        # streams this LM models — a GRVQ LM on RVQ streams (or vice versa)
+        # would silently code at near-raw rates
+        out["family"] = family
     if trained_frames is not None:
         # not a model-constructor arg (load_lm pops it): records the stream
         # length the LM is in-distribution for — positions/context beyond it
@@ -88,27 +105,49 @@ def lm_config_dict(cfg: LMTrainConfig, trained_frames: int | None = None) -> dic
 
 def main():
     args = get_args()
-    from academicodec_tpu.cli.compress import load_model_variables
+    if args.family == "hificodec":
+        if not args.hifi_config:
+            raise SystemExit("--family hificodec requires --hifi_config")
+        from academicodec_tpu.cli.extract_tokens import load_variables
+        from academicodec_tpu.models.hificodec import VQVAE
+        from academicodec_tpu.nn.hifigan import HiFiCodecConfig
 
-    codec = SoundStream(
-        n_filters=args.n_filters,
-        dimension=args.dimension,
-        ratios=tuple(args.ratios),
-        sample_rate=args.sr,
-        target_bandwidths=tuple(args.target_bandwidths),
-        bins=args.bins,
-    )
-    codec_vars = load_model_variables(args.resume_path, codec)
-    encode = jax.jit(
-        lambda v, w: codec.apply(v, w, target_bw=args.target_bw, method=SoundStream.encode)
-    )
+        with open(args.hifi_config) as fh:
+            hcfg = HiFiCodecConfig.from_json(json.load(fh))
+        codec = VQVAE(config=hcfg)
+        codec_vars = load_variables(args.resume_path, codec)
+        args.sr = hcfg.sampling_rate
+        args.bins = hcfg.n_codes
+        # VQVAE.encode yields [B, T', n_q] directly (the [B,T,4] contract)
+        _enc = jax.jit(lambda v, w: codec.apply(v, w, method=VQVAE.encode))
+        encode_bt = lambda v, w: _enc(v, w)
+    else:
+        from academicodec_tpu.cli.compress import load_model_variables
 
-    # n_q at this bandwidth (vq.py:88-96 formula, already baked into encode)
-    # + frames per training segment (recorded in lm_config.json so
-    # cli/compress.py --lm can warn on out-of-distribution stream lengths)
+        codec = SoundStream(
+            n_filters=args.n_filters,
+            dimension=args.dimension,
+            ratios=tuple(args.ratios),
+            sample_rate=args.sr,
+            target_bandwidths=tuple(args.target_bandwidths),
+            bins=args.bins,
+        )
+        codec_vars = load_model_variables(args.resume_path, codec)
+        _enc = jax.jit(
+            lambda v, w: codec.apply(
+                v, w, target_bw=args.target_bw, method=SoundStream.encode
+            )
+        )
+        # SoundStream.encode yields [n_q, B, T'] -> [B, T', n_q]
+        encode_bt = lambda v, w: jnp.transpose(_enc(v, w), (1, 2, 0))
+
+    # n_q at this bandwidth (vq.py:88-96 formula, already baked into encode;
+    # 2 groups x 2 residual layers = 4 for GRVQ) + frames per training
+    # segment (recorded in lm_config.json so cli/compress.py --lm can warn
+    # on out-of-distribution stream lengths)
     probe = np.zeros((1, int(args.segment_seconds * args.sr)), np.float32)
-    probe_codes = np.asarray(encode(codec_vars, probe))  # [n_q, 1, T']
-    n_q, trained_frames = int(probe_codes.shape[0]), int(probe_codes.shape[2])
+    probe_codes = np.asarray(encode_bt(codec_vars, probe))  # [1, T', n_q]
+    n_q, trained_frames = int(probe_codes.shape[2]), int(probe_codes.shape[1])
 
     cfg = LMTrainConfig(
         n_q=n_q, bins=args.bins, dim=args.lm_dim, num_heads=args.lm_heads,
@@ -119,7 +158,10 @@ def main():
     logger = Logger(args.path, args=vars(args))
     os.makedirs(args.path, exist_ok=True)
     with open(os.path.join(args.path, "lm_config.json"), "w") as fh:
-        json.dump(lm_config_dict(cfg, trained_frames=trained_frames), fh)
+        json.dump(
+            lm_config_dict(cfg, trained_frames=trained_frames, family=args.family),
+            fh,
+        )
 
     segment = int(args.segment_seconds * args.sr)
     ds = WavCropDataset(args.train_data_path, segment, sample_rate=args.sr, seed=args.seed)
@@ -132,8 +174,7 @@ def main():
     for step_i, batch in enumerate(it):
         if step_i >= args.steps:
             break
-        codes = np.asarray(encode(codec_vars, batch))  # [n_q, B, T']
-        codes = np.transpose(codes, (1, 2, 0)).astype(np.int32)  # [B, T', n_q]
+        codes = np.asarray(encode_bt(codec_vars, batch)).astype(np.int32)  # [B, T', n_q]
         if state is None:
             state = trainer.init_state(rng, codes)
         state, metrics = trainer.train_step(state, codes)
@@ -170,7 +211,7 @@ def load_lm(path: str):
             raise FileNotFoundError(f"no lm_* checkpoint under {path}")
     with open(os.path.join(directory, "lm_config.json")) as fh:
         cfg = json.load(fh)
-    meta = {k: cfg.pop(k) for k in ("trained_frames",) if k in cfg}
+    meta = {k: cfg.pop(k) for k in ("trained_frames", "family") if k in cfg}
     lm = RVQTokenLM(**cfg)
     variables = load_checkpoint(ckpt)
     return lm, variables, meta

@@ -53,6 +53,51 @@ def decompress_codes(blob: bytes) -> Tuple[np.ndarray, dict]:
     return out.reshape(n_q, n_frames), meta
 
 
+def compress_tokens_guarded(
+    codes: np.ndarray,
+    *,
+    bits_per_codebook: int,
+    metadata: dict,
+    lm=None,
+    lm_variables=None,
+) -> bytes:
+    """codes ``[n_q, T]`` -> ECDC bytes, LM-entropy-coded when that is
+    actually smaller.
+
+    Per-stream expansion guard: an LM fed streams longer than its training
+    length can EXPAND the file past raw packing (measured: a 1 s-crop LM
+    codes 5 s streams at 11.0 bits/token vs 10-bit raw — BENCHMARKS.md "LM
+    entropy coding"), so the raw-packed blob is always built and whichever
+    coding is smaller is emitted. The per-blob header's ``lm`` flag keeps
+    mixed outputs decodable by :func:`decompress_tokens`.
+    """
+    raw = compress_codes(
+        codes, bits_per_codebook=bits_per_codebook, metadata=metadata
+    )
+    if lm is not None:
+        from academicodec_tpu.codec.lm_compress import compress_tokens_with_lm
+
+        lm_blob = compress_tokens_with_lm(lm, lm_variables, codes, metadata=metadata)
+        if len(lm_blob) < len(raw):
+            return lm_blob
+    return raw
+
+
+def decompress_tokens(blob: bytes, lm=None, lm_variables=None) -> Tuple[np.ndarray, dict]:
+    """Inverse of :func:`compress_tokens_guarded`: the header's ``lm`` flag
+    selects raw unpacking or LM entropy decoding."""
+    if read_ecdc_header(io.BytesIO(blob)).get("lm"):
+        if lm is None:
+            raise ValueError(
+                "stream is LM-entropy-coded; pass lm/lm_variables "
+                "(cli: --lm <checkpoint dir>)"
+            )
+        from academicodec_tpu.codec.lm_compress import decompress_tokens_with_lm
+
+        return decompress_tokens_with_lm(lm, lm_variables, blob)
+    return decompress_codes(blob)
+
+
 class SoundStreamCompressor:
     """File-level compression API for a SoundStream/Encodec model.
 
@@ -234,32 +279,19 @@ class SoundStreamCompressor:
         for i, T in enumerate(Ts):
             c = codes[:, i, : self._exact_frames(T)]
             meta = self._meta(T)
-            if self.lm is not None:
-                from academicodec_tpu.codec.lm_compress import compress_tokens_with_lm
-
-                blobs.append(
-                    compress_tokens_with_lm(self.lm, self.lm_variables, c, metadata=meta)
+            blobs.append(
+                compress_tokens_guarded(
+                    c,
+                    bits_per_codebook=self.model.bits_per_codebook,
+                    metadata=meta,
+                    lm=self.lm,
+                    lm_variables=self.lm_variables,
                 )
-            else:
-                blobs.append(
-                    compress_codes(
-                        c, bits_per_codebook=self.model.bits_per_codebook, metadata=meta
-                    )
-                )
+            )
         return blobs
 
     def _unpack_blob(self, blob: bytes) -> Tuple[np.ndarray, dict]:
-        header_meta = read_ecdc_header(io.BytesIO(blob))
-        if header_meta.get("lm"):
-            if self.lm is None:
-                raise ValueError(
-                    "stream is LM-entropy-coded; pass lm/lm_variables "
-                    "(cli: --lm <checkpoint dir>)"
-                )
-            from academicodec_tpu.codec.lm_compress import decompress_tokens_with_lm
-
-            return decompress_tokens_with_lm(self.lm, self.lm_variables, blob)
-        return decompress_codes(blob)
+        return decompress_tokens(blob, lm=self.lm, lm_variables=self.lm_variables)
 
     def decompress(self, blob: bytes) -> Tuple[np.ndarray, int]:
         """ECDC bytes -> (wav ``[T]``, sample_rate). The header's ``lm`` flag
