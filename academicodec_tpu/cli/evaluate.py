@@ -25,7 +25,29 @@ def main():
     p.add_argument("--sr", type=int, default=24000)
     p.add_argument("--json_out", type=str, default=None)
     p.add_argument("--estoi", action="store_true", help="also report extended STOI")
+    p.add_argument("--strict", action="store_true",
+                   help="require the external ITU cross-check packages "
+                        "(pesq, pystoi) and abort loudly when they are "
+                        "unavailable or fail, instead of silently reporting "
+                        "native-only scores. Native PESQ/STOI here track "
+                        "the ITU implementations but are not bit-exact "
+                        "(eval/pesq.py fidelity notes); use --strict "
+                        "whenever externally comparable numbers are needed")
     args = p.parse_args()
+
+    if args.strict:
+        missing = []
+        for pkg in ("pesq", "pystoi"):
+            try:
+                __import__(pkg)
+            except ImportError:
+                missing.append(pkg)
+        if missing:
+            raise SystemExit(
+                f"--strict: external cross-check package(s) unavailable: "
+                f"{', '.join(missing)}. Install them or drop --strict "
+                f"(native-only scores, not externally validated)."
+            )
 
     names = sorted(f for f in os.listdir(args.deg_dir) if f.endswith(".wav"))
     rows = []
@@ -35,7 +57,8 @@ def main():
             continue
         ref, _ = read_wav(ref_path, sr=args.sr)
         deg, _ = read_wav(os.path.join(args.deg_dir, name), sr=args.sr)
-        rows.append(evaluate_pair(deg, ref, args.sr, estoi=args.estoi))
+        rows.append(evaluate_pair(deg, ref, args.sr, estoi=args.estoi,
+                                  strict=args.strict))
     if not rows:
         raise SystemExit("no overlapping wav files found")
     keys = sorted({k for r in rows for k in r})  # a metric may be absent in row 0

@@ -51,11 +51,16 @@ def mel_distance(
     return total / len(scales)
 
 
-def pesq_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> Dict[str, float]:
+def pesq_score(
+    deg: np.ndarray, ref: np.ndarray, sr: int, strict: bool = False
+) -> Dict[str, float]:
     """Narrow+wide-band PESQ at 16 kHz (resampled), reference convention
     (compute_pesq.py:11-32). Computed by the native P.862 implementation
     (``eval/pesq.py``); if the external ``pesq`` package happens to be
-    installed its scores ride along under ``*_ext`` as a cross-check."""
+    installed its scores ride along under ``*_ext`` as a cross-check.
+    ``strict=True`` makes the cross-check MANDATORY: a missing package or
+    a failing cross-check computation raises instead of silently reporting
+    native-only scores (cli/evaluate.py --strict)."""
     from scipy.signal import resample_poly
 
     from academicodec_tpu.eval.pesq import pesq as native_pesq
@@ -71,15 +76,24 @@ def pesq_score(deg: np.ndarray, ref: np.ndarray, sr: int) -> Dict[str, float]:
     }
     try:  # pragma: no cover - absent in this image
         from pesq import pesq as ext_pesq
-
+    except ImportError:
+        if strict:
+            raise RuntimeError(
+                "strict cross-check requested but the external 'pesq' "
+                "package (ITU P.862 wrapper) is not installed — native "
+                "scores cannot be validated in this environment"
+            )
+        return out
+    try:  # pragma: no cover - absent in this image
         out["pesq_nb_ext"] = float(ext_pesq(16000, ref[:n], deg[:n], "nb"))
         out["pesq_wb_ext"] = float(ext_pesq(16000, ref[:n], deg[:n], "wb"))
-    except ImportError:
-        pass
     except Exception:
         # the package's runtime errors (NoUtterancesError etc., not
         # ValueError) must not abort an evaluation whose native scores
-        # above already succeeded — the cross-check is best-effort
+        # above already succeeded — the cross-check is best-effort unless
+        # strict
+        if strict:
+            raise
         out["pesq_nb_ext"] = float("nan")
         out["pesq_wb_ext"] = float("nan")
     return out
@@ -98,11 +112,13 @@ def stoi_score(deg: np.ndarray, ref: np.ndarray, sr: int, extended: bool = False
 
 def evaluate_pair(
     deg: np.ndarray, ref: np.ndarray, sr: int, external: bool = True,
-    estoi: bool = False,
+    estoi: bool = False, strict: bool = False,
 ) -> Dict[str, float]:
     """All metrics for one (degraded, reference) pair. ``external=True``
     includes PESQ (native; ~1 s/clip of host compute — the flag name is
-    historical, from when it gated the external package)."""
+    historical, from when it gated the external package). ``strict=True``
+    requires the external ITU cross-check to actually run (see
+    :func:`pesq_score`)."""
     out = {"si_snr": si_snr(deg, ref), "mel_l1": mel_distance(deg, ref, sr)}
     try:
         if estoi:
@@ -122,8 +138,10 @@ def evaluate_pair(
             out["estoi"] = float("nan")
     if external:
         try:
-            out.update(pesq_score(deg, ref, sr))
+            out.update(pesq_score(deg, ref, sr, strict=strict))
         except ValueError:
+            if strict:
+                raise
             out["pesq_nb"] = float("nan")  # too short for PESQ: disclose
             out["pesq_wb"] = float("nan")
     return out

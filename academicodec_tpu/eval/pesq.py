@@ -31,15 +31,19 @@ Fidelity status (be honest with consumers of these numbers):
     the MOS-LQO mappings are the standard's values.
   * The Bark band edges and absolute-threshold table are REGENERATED from
     the published psychoacoustic formulas (Zwicker bark scale, Terhardt
-    threshold-in-quiet) rather than copied from the ITU data tables, and
-    utterance splitting for time-VARYING delay is not implemented (codec
-    outputs — this framework's use case — have constant delay).  Scores
-    are therefore expected to track the ITU implementation closely but are
-    not bit-exact; `tests/test_pesq.py` pins the exact anchors that hold
-    by construction (identical input ⇒ 4.549 nb / 4.644 wb) and the
-    behavioral contract (monotonicity in SNR, delay invariance, plausible
-    MOS for standard degradations).  When the external ``pesq`` package is
-    available, ``eval/metrics.pesq_score`` cross-checks against it.
+    threshold-in-quiet) rather than copied from the ITU data tables.
+    Utterance splitting for time-VARYING delay is implemented
+    (``_align_split``: recursive confidence-gated splitting per P.862
+    §10.2.4). Scores are therefore expected to track the ITU
+    implementation closely but are not bit-exact; `tests/test_pesq.py`
+    pins the exact anchors that hold by construction (identical input ⇒
+    4.549 nb / 4.644 wb), the behavioral contract (monotonicity in SNR,
+    delay invariance, time-varying-delay recovery, plausible MOS for
+    standard degradations), and full-precision regression fixtures over a
+    deterministic degradation matrix that would expose any future ±0.1 MOS
+    drift.  When the external ``pesq`` package is available,
+    ``eval/metrics.pesq_score`` cross-checks against it
+    (``cli/evaluate.py --strict`` makes that cross-check mandatory).
 """
 
 from __future__ import annotations
@@ -206,6 +210,32 @@ def _crude_align(ref: np.ndarray, deg: np.ndarray, block: int) -> int:
     return _xcorr_delay(er, ed) * block
 
 
+def _crude_candidates(
+    ref: np.ndarray, deg: np.ndarray, block: int, k: int = 3
+) -> List[int]:
+    """Top-``k`` well-separated peaks of the envelope cross-correlation, in
+    sample units, best first. On near-periodic envelopes (steady syllabic
+    modulation) the single argmax can lock onto an envelope-period alias —
+    noise decides among near-equal peaks — so ``time_align`` scores each
+    candidate by fine-alignment confidence instead of trusting the argmax."""
+    er = _envelope(ref, block)
+    ed = _envelope(deg, block)
+    er = er - er.mean()
+    ed = ed - ed.mean()
+    n = len(er) + len(ed) - 1
+    nfft = 1 << (n - 1).bit_length()
+    c = np.fft.irfft(np.fft.rfft(ed, nfft) * np.conj(np.fft.rfft(er, nfft)), nfft)
+    cc = np.concatenate([c[-(len(er) - 1):], c[: len(ed)]])
+    picks: List[int] = []
+    for i in np.argsort(cc)[::-1]:
+        lag = int(i) - (len(er) - 1)
+        if all(abs(lag - p) > 2 for p in picks):
+            picks.append(lag)
+        if len(picks) == k:
+            break
+    return [p * block for p in picks]
+
+
 def _utterances(ref: np.ndarray, fs: int, block: int) -> List[Tuple[int, int]]:
     """Active-speech sections in sample units: envelope 35 dB under the
     peak marks silence; gaps < 200 ms are bridged, sections < 200 ms are
@@ -278,6 +308,44 @@ def _fine_align(
     return crude + best - max_res, conf
 
 
+def _align_split(
+    ref: np.ndarray, deg: np.ndarray, s: int, e: int,
+    crude: int, align_nfft: int, fs: int, depth: int = 0,
+) -> List[Tuple[int, int, int]]:
+    """P.862 utterance splitting for time-VARYING delay (ITU P.862 §10.2.4,
+    'utterance splitting'; reference delegates to the pesq package which
+    implements it — compute_pesq.py:11-32): when a delay CHANGE inside an
+    utterance is better explained by two independently-aligned halves —
+    both halves' correlation peaks are sharper than the whole's — the
+    utterance recursively splits at the best candidate point. A genuine
+    change is required (≥ one downsample block apart); sample-level jitter
+    between half-estimates never splits, so constant-delay material keeps
+    its single-utterance alignment bit-for-bit."""
+    d, conf = _fine_align(ref, deg, s, e, crude, align_nfft)
+    if conf <= 1.5:  # flat histogram: keep the crude estimate
+        d = crude
+    min_half = max(2 * align_nfft, int(0.32 * fs))
+    if depth >= 2 or (e - s) < 2 * min_half:
+        return [(s, e, d)]
+    best = None
+    for frac in (0.35, 0.5, 0.65):
+        m = s + int((e - s) * frac)
+        d1, c1 = _fine_align(ref, deg, s, m, crude, align_nfft)
+        d2, c2 = _fine_align(ref, deg, m, e, crude, align_nfft)
+        if abs(d1 - d2) <= _CFG[fs]["downsample"]:
+            continue  # not a real delay change
+        score = min(c1, c2)
+        if score > max(conf, 1.5) and (best is None or score > best[0]):
+            best = (score, m)
+    if best is None:
+        return [(s, e, d)]
+    m = best[1]
+    return (
+        _align_split(ref, deg, s, m, crude, align_nfft, fs, depth + 1)
+        + _align_split(ref, deg, m, e, crude, align_nfft, fs, depth + 1)
+    )
+
+
 def time_align(
     ref: np.ndarray, deg: np.ndarray, fs: int
 ) -> List[Tuple[int, int, int]]:
@@ -285,16 +353,27 @@ def time_align(
     cfg = _CFG[fs]
     block = cfg["downsample"]
     search = SEARCHBUFFER * block
-    crude = _crude_align(ref, deg, block)
-    crude = int(np.clip(crude, -search, search))
+    utts = _utterances(ref, fs, block)
+    # candidate crude delays, disambiguated by fine-alignment confidence
+    # (the raw envelope-xcorr argmax aliases on periodic envelopes)
+    cands = list(dict.fromkeys(
+        int(np.clip(c, -search, search))
+        for c in _crude_candidates(ref, deg, block)
+    ))
+    if len(cands) > 1:
+        crude = max(cands, key=lambda cr: sum(
+            _fine_align(ref, deg, s, e, cr, cfg["align_nfft"])[1]
+            for (s, e) in utts
+        ))
+    else:
+        crude = cands[0]
     out = []
-    for (s, e) in _utterances(ref, fs, block):
+    for (s, e) in utts:
         # (the residual-lag search inside is bounded by align_nfft/2; the
         # ±search clamp is applied to the result below)
-        d, conf = _fine_align(ref, deg, s, e, crude, cfg["align_nfft"])
-        if conf <= 1.5:  # flat histogram: keep the crude estimate
-            d = crude
-        out.append((s, e, int(np.clip(d, -search, search))))
+        for (us, ue, d) in _align_split(ref, deg, s, e, crude,
+                                        cfg["align_nfft"], fs):
+            out.append((us, ue, int(np.clip(d, -search, search))))
     return out
 
 

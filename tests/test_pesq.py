@@ -167,3 +167,86 @@ def test_evaluate_pair_includes_pesq(speech16):
     out = evaluate_pair(_add_noise(speech16, 30), speech16, 16000)
     assert {"si_snr", "mel_l1", "stoi", "pesq_nb", "pesq_wb"} <= set(out)
     assert 1.0 <= out["pesq_nb"] <= 4.6
+
+
+def test_time_varying_delay_utterance_splitting():
+    """P.862 utterance splitting: a delay CHANGE mid-stream must be
+    resolved into two independently-aligned segments (``_align_split``) —
+    a single-delay alignment would mis-place half the frames and tank the
+    score. On this synthetic periodic carrier the ABSOLUTE delay may lock
+    to a pitch-period alias (37 x 68.08 samples), so the pinned contract
+    is the split structure and the inter-segment delay DIFFERENCE."""
+    fs = 16000
+    rng = np.random.default_rng(3)
+    t = np.arange(int(fs * 4.0)) / fs
+    env = 0.55 + 0.45 * (np.sin(2 * np.pi * 3.1 * t) ** 2) * (
+        0.6 + 0.4 * np.sin(2 * np.pi * 0.43 * t)
+    )
+    x = env * (
+        0.3 * np.sin(2 * np.pi * 235 * t) + 0.2 * np.sin(2 * np.pi * 470 * t)
+    ) + 0.004 * rng.standard_normal(len(t))
+    half = len(x) // 2
+    shifted = np.concatenate([np.zeros(400), x])[: len(x)]
+    deg = np.concatenate([x[:half], shifted[half:]])  # delay 0 -> 400 at t=2 s
+
+    utts = time_align(x, deg, fs)
+    assert len(utts) == 2, utts
+    (s1, e1, d1), (s2, e2, d2) = utts
+    assert s1 == 0 and e2 == len(x) and e1 == s2
+    assert abs(e1 - half) <= int(0.35 * fs), utts  # split near the change
+    assert abs((d2 - d1) - 400) <= 64, utts  # the delta is the real change
+    # the recovered alignment keeps the score in the mild-degradation range
+    # (mis-aligning either half drops it well below 3)
+    assert pesq(fs, x, deg, "nb") > 3.2
+
+    # constant-delay input does NOT split (sample-jitter guard)
+    utts_const = time_align(x, shifted, fs)
+    assert len(utts_const) == 1 and abs(utts_const[0][2] - 400) <= 64, utts_const
+
+
+def test_regression_fixture_matrix(speech16):
+    """Full-precision regression anchors over a deterministic degradation
+    matrix (additive noise at 30/20/10 dB SNR, 8-bit quantization, 2 kHz
+    low-pass on the module's synthetic speech fixture).
+
+    Provenance: values computed by THIS implementation (eval/pesq.py,
+    round 4) at float64 — they are regression anchors pinning the whole
+    pipeline (filtering, candidate-based alignment, perceptual model, MOS
+    mappings) to 1e-3, NOT ITU-conformance values (the ITU reference
+    implementation is unavailable offline; cli/evaluate.py --strict runs
+    the external cross-check where the ``pesq`` package exists). Any
+    future numerical drift — including a ±0.1 MOS bias — fails here."""
+    from scipy.signal import butter, sosfiltfilt
+
+    fs = 16000
+    sos = butter(6, 2000.0, btype="lowpass", fs=fs, output="sos")
+    anchors = {
+        "snr30": (_add_noise(speech16, 30), 3.584238, 4.090782),
+        "snr20": (_add_noise(speech16, 20), 2.997831, 3.772482),
+        "snr10": (_add_noise(speech16, 10), 1.901425, 2.941434),
+        "quant8": (np.round(np.clip(speech16, -1, 1) * 128) / 128,
+                   4.513652, 4.625309),
+        "lp2k": (sosfiltfilt(sos, speech16), 4.366110, 4.350155),
+    }
+    for name, (deg, nb, wb) in anchors.items():
+        assert pesq(fs, speech16, deg, "nb") == pytest.approx(nb, abs=1e-3), name
+        assert pesq(fs, speech16, deg, "wb") == pytest.approx(wb, abs=1e-3), name
+
+
+def test_strict_mode_raises_without_external_package(speech16):
+    """--strict contract: when the external ITU 'pesq' package is absent
+    (this image), the cross-check must FAIL LOUDLY instead of silently
+    passing native-only scores (the round-3 eval/metrics.py:78 silent-pass
+    failure mode)."""
+    from academicodec_tpu.eval.metrics import pesq_score
+
+    try:
+        import pesq as _ext  # noqa: F401
+        pytest.skip("external pesq installed: strict mode would run it")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pesq"):
+        pesq_score(speech16, speech16, 16000, strict=True)
+    # non-strict keeps the round-3 behavior: native scores, no _ext keys
+    out = pesq_score(speech16, speech16, 16000)
+    assert "pesq_nb" in out and "pesq_nb_ext" not in out
