@@ -8,7 +8,10 @@ answer to the "30-step loss-decrease smoke" validation debt: the
 reference's acceptance test is PESQ/STOI improving over training
 (readme.md:33), which this reproduces end to end without external data or
 packages. ``--family encodec`` trains Encodec_24k_240d;
-``--family hificodec`` trains HiFi-Codec-24k-320d (LS-GAN, GRVQ).
+``--family hificodec`` trains HiFi-Codec-24k-320d (LS-GAN, GRVQ);
+``--family soundstream`` trains SoundStream_24k_240d (encodec trainer with
+the soundstream recipe switches: mel 6..10, sim-in-feat, p=0.3 mixtures).
+``--corpus rich`` swaps in the enriched multi-speaker synthetic corpus.
 
 Usage:
     PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/train_validation.py \
@@ -52,6 +55,94 @@ def speechlike_batch(rng: np.random.Generator, batch: int, n: int, sr: int) -> n
     return out
 
 
+def _rich_utterance(rng: np.random.Generator, n: int, sr: int, t: np.ndarray) -> np.ndarray:
+    """One synthetic 'utterance' from a sampled speaker (see speechlike_batch_rich)."""
+    # speaker identity: f0 register, vocal-tract length (formant scale), tilt
+    reg = rng.choice(3, p=[0.45, 0.40, 0.15])
+    f0_base = (rng.uniform(85, 155), rng.uniform(155, 255), rng.uniform(220, 330))[reg]
+    vtl = rng.uniform(0.88, 1.18)       # formants shift together by this factor
+    tilt_db = rng.uniform(-9.0, -3.0)   # spectral tilt, dB/octave
+    # prosody: phrase declination + slow intonation + vibrato (log2 contour)
+    contour = (
+        -rng.uniform(0.0, 0.25) * (t / t[-1])
+        + 0.08 * np.sin(2 * np.pi * rng.uniform(0.4, 1.2) * t + rng.uniform(0, 6.28))
+        + 0.02 * np.sin(2 * np.pi * rng.uniform(4.5, 7.0) * t + rng.uniform(0, 6.28))
+    )
+    f0 = f0_base * np.exp2(contour)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    # syllabic energy with real pauses: product of modulators, gated at a floor
+    m = np.ones_like(t)
+    for _ in range(2):
+        m *= 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(2.0, 7.0) * t + rng.uniform(0, 6.28))
+    env = np.clip(m - rng.uniform(0.04, 0.22), 0.0, None) ** 0.7
+    # drifting formant tracks (F1-F3), scaled by vocal-tract length; gains
+    # evaluated on a 5 ms grid (they vary slowly) and sample-repeated — the
+    # full-rate [H, n] exp2/log2 was 4x the whole synthesis cost
+    dec = 120
+    tg = t[::dec]
+    n_g = tg.shape[0]
+
+    def track(center, sweep):
+        return (center + sweep * np.sin(
+            2 * np.pi * rng.uniform(0.5, 2.5) * tg + rng.uniform(0, 6.28))) / vtl
+    F = np.stack([track(500.0, 300.0), track(1700.0, 700.0), track(2900.0, 400.0)])
+    BW = (np.array([90.0, 120.0, 160.0]) / vtl)[:, None]
+    # harmonic stack through the formant envelope
+    H = int(np.clip(0.45 * sr / float(np.max(f0)), 3, 20))
+    k = np.arange(1, H + 1)[:, None]                      # [H, 1]
+    fkg = k * f0[None, ::dec]                             # [H, n_g]
+    gain_g = np.zeros_like(fkg)
+    for i in range(3):
+        gain_g += 1.0 / (1.0 + ((fkg - F[i][None, :]) / BW[i]) ** 2)
+    gain_g *= np.exp2((tilt_db / 6.02) * np.log2(np.maximum(fkg, 1.0) / f0_base))
+    gain = np.repeat(gain_g, dec, axis=1)[:, :n]
+    amp = rng.uniform(0.6, 1.0, (H, 1)) * gain
+    voiced = (amp * np.sin(k * phase[None, :] + rng.uniform(0, 6.28, (H, 1)))).sum(0)
+    # consonant-like frication bursts (high-passed noise, Hann-windowed)
+    bursts = np.zeros(n)
+    for _ in range(int(rng.integers(2, 7))):
+        c = int(rng.integers(0, n))
+        w = int(rng.uniform(0.015, 0.08) * sr)
+        lo, hi = max(0, c - w // 2), min(n, c + w // 2)
+        if hi - lo > 8:
+            nz = rng.standard_normal(hi - lo)
+            nz = np.diff(nz, prepend=nz[0])
+            bursts[lo:hi] += rng.uniform(0.1, 0.45) * np.hanning(hi - lo) * nz
+    aspiration = 0.01 * rng.standard_normal(n) * (0.3 + env)
+    sig = env * voiced + bursts + aspiration
+    return sig / max(1e-6, float(np.max(np.abs(sig))))
+
+
+def speechlike_batch_rich(
+    rng: np.random.Generator, batch: int, n: int, sr: int
+) -> np.ndarray:
+    """Enriched synthetic corpus (round-4 A/B arm for the HiFi-Codec plateau).
+
+    Adds what the legacy generator lacks and real speech has — per-utterance
+    speaker identity (3 f0 registers, vocal-tract-length formant scaling,
+    spectral tilt), prosody (declination + intonation + vibrato f0 contour),
+    syllabic amplitude modulation with true pauses, drifting F1-F3 formant
+    resonances shaping up to 20 harmonics, consonant-like frication bursts,
+    aspiration noise, occasional two-speaker babble, background noise at
+    random SNR, and wide level diversity. The reference trains on >1000 h
+    LibriTTS/VCTK/AISHELL (readme.md:33); this is the in-tree proxy for that
+    acoustic diversity, used to test whether the HiFi-Codec PESQ plateau is
+    data- or model-bound.
+    """
+    t = np.arange(n) / sr
+    out = np.empty((batch, n), np.float32)
+    for b in range(batch):
+        sig = _rich_utterance(rng, n, sr, t)
+        if rng.random() < 0.2:  # background babble (second speaker, -12..-4 dB)
+            sig = sig + rng.uniform(0.25, 0.63) * _rich_utterance(rng, n, sr, t)
+        if rng.random() < 0.5:  # stationary background noise at 15..40 dB SNR
+            snr = rng.uniform(15.0, 40.0)
+            rms = float(np.sqrt(np.mean(sig**2)) + 1e-9)
+            sig = sig + rms * 10.0 ** (-snr / 20.0) * rng.standard_normal(n)
+        out[b] = rng.uniform(0.3, 0.85) * sig / max(1e-6, float(np.max(np.abs(sig))))
+    return out
+
+
 def main():
     p = argparse.ArgumentParser("train_validation")
     p.add_argument("--steps", type=int, default=500)
@@ -59,7 +150,14 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seconds", type=float, default=1.0)
     p.add_argument("--disc_start", type=int, default=100)
-    p.add_argument("--family", choices=("encodec", "hificodec"), default="encodec")
+    p.add_argument("--family", choices=("encodec", "hificodec", "soundstream"),
+                   default="encodec")
+    p.add_argument("--corpus", choices=("legacy", "rich"), default="legacy",
+                   help="synthetic corpus: 'legacy' is the round-2/3 AM "
+                        "multi-tone generator (kept for trajectory "
+                        "reproducibility); 'rich' adds speaker/prosody/"
+                        "formant/noise diversity (round-4 data-vs-model A/B "
+                        "for the HiFi-Codec PESQ plateau)")
     p.add_argument("--save_path", type=str, default=None,
                    help="directory to save the final generator checkpoint "
                         "(consumed by benchmarks/lm_compression_probe.py)")
@@ -101,9 +199,15 @@ def main():
 
     sr = 24000
     seg = int(args.seconds * sr)
-    if args.family == "encodec":
+    gen = speechlike_batch if args.corpus == "legacy" else speechlike_batch_rich
+    if args.family in ("encodec", "soundstream"):
         from academicodec_tpu.train.encodec import EncodecTrainConfig, EncodecTrainer
 
+        # soundstream flavor (recipes/SoundStream_24k_240d, reference
+        # egs/SoundStream_24k_240d/main3_ddp.py): same generator/trainer,
+        # mel scales 6..10, sim loss inside the feature term, and p=0.3
+        # two-clip mixture augmentation on the TRAIN stream (dataset.py:27-48)
+        ss = args.family == "soundstream"
         cfg = EncodecTrainConfig(
             sr=sr,
             ratios=(6, 5, 4, 2),
@@ -111,6 +215,8 @@ def main():
             discriminator_iter_start=args.disc_start,
             mixed_precision=args.mixed_precision,
             accum_steps=args.accum_steps,
+            mel_scale_powers=tuple(range(6, 11)) if ss else tuple(range(6, 12)),
+            feat_include_sim=ss,
         )
         trainer = EncodecTrainer(cfg)
         loss_key = "loss_g"
@@ -164,8 +270,19 @@ def main():
     # sees fresh draws (NOT a replay of steps 1..start); a fresh run keeps
     # the round-2 deterministic trajectory (seed 0)
     rng = np.random.default_rng(start_step)
+
+    def train_batch(rng):
+        x = gen(rng, args.batch, seg, sr)
+        if args.family == "soundstream":
+            # p=0.3 two-clip mixture augmentation, straight sum
+            # (reference models/soundstream/dataset.py:27-48)
+            mix = rng.random(args.batch) < 0.3
+            if mix.any():
+                x[mix] = x[mix] + gen(rng, int(mix.sum()), seg, sr)
+        return x
+
     state = trainer.init_state(  # jits itself on non-CPU backends
-        jax.random.PRNGKey(0), jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
+        jax.random.PRNGKey(0), jnp.asarray(train_batch(rng))
     )
     if args.resume_state:
         from academicodec_tpu.utils.checkpoint import load_checkpoint
@@ -173,7 +290,7 @@ def main():
         state = load_checkpoint(args.resume_state, template=jax.device_get(state))
         state = jax.device_put(state)
 
-    held_out = speechlike_batch(np.random.default_rng(12345), args.batch, seg, sr)
+    held_out = gen(np.random.default_rng(12345), args.batch, seg, sr)
     held_out_dev = jnp.asarray(held_out)
 
     def metrics_from_rec(rec):
@@ -251,7 +368,7 @@ def main():
             # calibrate on a DISJOINT batch (seed 777) — the held-out batch
             # stays unseen by the scale selection
             calib = jnp.asarray(
-                speechlike_batch(np.random.default_rng(777), args.batch, seg, sr)
+                gen(np.random.default_rng(777), args.batch, seg, sr)
             )
             v_cal = calibrate_quant(model_q, v, calib)
 
@@ -270,7 +387,7 @@ def main():
 
     t_step = None
     for step in range(start_step + 1, start_step + args.steps + 1):
-        batch = jnp.asarray(speechlike_batch(rng, args.batch, seg, sr))
+        batch = jnp.asarray(train_batch(rng))
         state, metrics = trainer.train_step(state, batch)
         if step == start_step + 1:
             np.asarray(metrics[loss_key])  # force compile + first dispatch
