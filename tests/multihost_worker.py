@@ -101,10 +101,14 @@ def main() -> None:
     trainer = EncodecTrainer(cfg)
 
     rng = jax.random.PRNGKey(0)
-    # deterministic global batch: row i = i/10; each host materializes ONLY
-    # its local rows, global assembly is make_array_from_process_local_data
-    global_bs = 2 * nproc
-    local_rows = np.arange(pid * 2, pid * 2 + 2)
+    # deterministic FIXED global batch (8 rows, row i = i/10) regardless of
+    # process count: each host materializes ONLY its local rows, global
+    # assembly is make_array_from_process_local_data. Because the global
+    # computation is identical at any topology, the reported loss must
+    # agree between the 2-process and 4-process runs (test_multihost.py).
+    global_bs = 8
+    k = global_bs // nproc
+    local_rows = np.arange(pid * k, (pid + 1) * k)
     local = (local_rows[:, None] / 10.0 * np.ones((1, 3200))).astype(np.float32)
 
     state = trainer.init_state(rng, np.zeros((global_bs, 3200), np.float32))
