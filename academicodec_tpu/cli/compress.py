@@ -244,11 +244,14 @@ def main():
                 and not warned_lm_len):
             warned_lm_len = True
             print(
-                f"WARNING: {name} is {frames} frames but the LM was trained "
+                f"NOTE: {name} is {frames} frames but the LM was trained "
                 f"on {lm_trained_frames}-frame crops; positions/context "
                 "beyond the trained length are out of distribution and the "
-                "coded rate degrades (can exceed raw bit packing). Retrain "
-                "with --segment_seconds covering your files.",
+                "LM-coded rate degrades. Files can NOT grow past raw "
+                "packing (the per-stream guard falls back to raw,"
+                " codec/compress.compress_tokens_guarded), but for the "
+                "entropy-coding win retrain with --segment_seconds "
+                "covering your files.",
                 file=sys.stderr,
             )
 
