@@ -101,10 +101,14 @@ def test_encodec_lr_schedule(tiny_trainer):
 @pytest.mark.slow
 def test_hificodec_train_step_runs():
     # NOTE: the sharded variant of this full-width graph aborts inside
-    # XLA:CPU (virtual-device backend crash, not a framework bug); the
-    # data-parallel path is covered by the encodec sharded + equivalence
-    # tests, and the full-size HiFi-Codec step runs on real TPU
-    # (BENCHMARKS.md: 400.8 ms/step).
+    # XLA:CPU when compiled IN-PROCESS after other large sharded graphs
+    # (state-dependent upstream crash, not a framework bug) — a FRESH
+    # process compiles+executes it cleanly at 4 and 8 virtual devices
+    # (benchmarks/hifi_fullwidth_dryrun.py, run subprocess-isolated by
+    # __graft_entry__.dryrun_multichip). The data-parallel path here is
+    # covered by the encodec sharded + equivalence tests, and the
+    # full-size HiFi-Codec step runs on real TPU (BENCHMARKS.md:
+    # 400.8 ms/step).
     cfg = HiFiCodecTrainConfig(
         model=HiFiCodecConfig(segment_size=3200),
         stft_filters=8,
