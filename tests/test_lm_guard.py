@@ -114,7 +114,15 @@ def test_winning_lm_coding_is_kept():
 @pytest.mark.slow
 def test_grvq_lm_e2e(tmp_path, monkeypatch):
     """train_lm --family hificodec -> extract_tokens --tokens_ecdc --lm:
-    the GRVQ 4-stream LM pipeline end to end on a tiny VQVAE."""
+    the GRVQ 4-stream LM pipeline end to end on a tiny VQVAE.
+
+    Runs subprocess-isolated: the VQVAE + LM-trainer + CLI compile chain
+    adds enough in-process XLA:CPU state to tip later big-graph compiles
+    into the known state-dependent segfault (CLAUDE.md isolation note)."""
+    from conftest import reinvoke_isolated
+
+    if not reinvoke_isolated(__file__, "test_grvq_lm_e2e", "ACT_GRVQ_E2E_INNER"):
+        return
     from academicodec_tpu.cli import extract_tokens as et_cli
     from academicodec_tpu.cli import train_lm
     from academicodec_tpu.data.wavio import write_wav

@@ -42,28 +42,14 @@ def _assert_all_f32(tree, what):
 
 
 def _reinvoke_isolated(test_name: str, env_key: str) -> bool:
-    """True if the caller should run the test body (we are the inner
-    process); otherwise re-invokes the single test in a FRESH subprocess
-    and asserts success. Same isolation as test_train.py's sharded tests:
-    compiling these GAN-step graphs after many other in-process XLA:CPU
-    compiles segfaults inside the compilation-cache executable
-    serialization (state-dependent upstream crash, reproduced twice at
-    suite position ~130; the identical test passes in any fresh process —
-    r4 suite logs)."""
-    import os
-    import subprocess
-    import sys
+    """Subprocess isolation for these GAN-step compiles: after many other
+    in-process XLA:CPU compiles they segfault inside the compilation-cache
+    executable serialization (state-dependent upstream crash, reproduced
+    at suite position ~130; the identical tests pass in any fresh
+    process). Shared implementation: conftest.reinvoke_isolated."""
+    from conftest import reinvoke_isolated
 
-    if os.environ.get(env_key) == "1":
-        return True
-    env = {**os.environ, env_key: "1"}
-    r = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "-x",
-         __file__ + "::" + test_name],
-        env=env, capture_output=True, text=True, timeout=3000,
-    )
-    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-1500:])
-    return False
+    return reinvoke_isolated(__file__, test_name, env_key)
 
 
 def test_encodec_mixed_precision_step():

@@ -143,7 +143,16 @@ def test_tower_pre_post_multi_tile(monkeypatch):
 def test_vqvae_fused_tokens_and_decode_parity():
     """Whole-model check: fused encoder chains + fused generator stages
     produce bit-identical tokens and ~exact f32 decode vs the plain model,
-    with and without the packed encoder head."""
+    with and without the packed encoder head.
+
+    Runs subprocess-isolated: this 3-model compile sequence late in the
+    suite hit the state-dependent XLA:CPU compiler segfault (r4 suite log;
+    same class as the test_train/test_mixed_precision isolations)."""
+    from conftest import reinvoke_isolated
+
+    if not reinvoke_isolated(__file__, "test_vqvae_fused_tokens_and_decode_parity",
+                             "ACT_PALLAS_VQVAE_INNER"):
+        return
     from academicodec_tpu.models.hificodec import VQVAE
 
     cfg = HiFiCodecConfig(
