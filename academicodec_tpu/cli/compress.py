@@ -215,7 +215,14 @@ def main():
     if args.lm:
         from academicodec_tpu.cli.train_lm import load_lm
 
-        lm, lm_vars, lm_meta = load_lm(args.lm)
+        try:
+            lm, lm_vars, lm_meta = load_lm(
+                args.lm, expect_family="encodec",
+                expect_nq=model.n_q_for_bandwidth(args.target_bw),
+                expect_bins=model.bins,
+            )
+        except ValueError as e:
+            sys.exit(f"--lm: {e}")
         lm_trained_frames = lm_meta.get("trained_frames")
     mesh = None
     if args.data_parallel or args.sequence_parallel:

@@ -229,11 +229,13 @@ def write_tokens_ecdc(args, cfg, tokens_dict, lm=None, lm_variables=None):
     """One ECDC token blob per file: GRVQ streams [n_q, T] packed raw at
     ceil(log2(n_codes)) bits, or LM-entropy-coded when --lm makes the blob
     SMALLER (codec.compress.compress_tokens_guarded — never expands)."""
+    import io
+
+    from academicodec_tpu.codec.binary import read_ecdc_header
     from academicodec_tpu.codec.compress import compress_tokens_guarded
 
     bits = max(1, math.ceil(math.log2(cfg.n_codes)))
     os.makedirs(args.tokens_ecdc, exist_ok=True)
-    raw_bits_per = bits * 2 * cfg.n_code_groups
     total = lm_used = 0
     for fid, toks in tokens_dict.items():
         c = np.asarray(toks)[0].T.astype(np.int32)  # [n_q, T], [l0g0,l0g1,l1g0,l1g1]
@@ -248,10 +250,11 @@ def write_tokens_ecdc(args, cfg, tokens_dict, lm=None, lm_variables=None):
             fh.write(blob)
         bpt = len(blob) * 8 / c.size
         total += 1
-        if lm is not None and bpt < bits:
+        # the emitted header's `lm` flag IS the guard's decision — bpt
+        # comparisons misclassify marginal wins (header overhead)
+        if lm is not None and read_ecdc_header(io.BytesIO(blob)).get("lm"):
             lm_used += 1
-        print(f"{fid}: {len(blob)} bytes, {bpt:.2f} bits/token "
-              f"(raw {raw_bits_per / (2 * cfg.n_code_groups):.0f})")
+        print(f"{fid}: {len(blob)} bytes, {bpt:.2f} bits/token (raw {bits})")
     if lm is not None:
         print(f"tokens_ecdc: LM coding won on {lm_used}/{total} files "
               f"(raw fallback on the rest — expansion guard)")
@@ -272,15 +275,13 @@ def main():
     if args.lm:  # validate before the (slow) checkpoint load
         from academicodec_tpu.cli.train_lm import load_lm
 
-        lm, lm_variables, lm_meta = load_lm(args.lm)
-        fam = lm_meta.get("family")
-        if fam not in (None, "hificodec"):
-            sys.exit(f"--lm checkpoint models '{fam}' token streams, not GRVQ "
-                     f"(train with cli/train_lm.py --family hificodec)")
-        expect_nq = 2 * cfg.n_code_groups
-        if lm.n_q != expect_nq or lm.bins != cfg.n_codes:
-            sys.exit(f"--lm shape mismatch: LM (n_q={lm.n_q}, bins={lm.bins}) "
-                     f"vs model (n_q={expect_nq}, bins={cfg.n_codes})")
+        try:
+            lm, lm_variables, lm_meta = load_lm(
+                args.lm, expect_family="hificodec",
+                expect_nq=2 * cfg.n_code_groups, expect_bins=cfg.n_codes,
+            )
+        except ValueError as e:
+            sys.exit(f"--lm: {e}")
 
     variables = load_variables(args.model_path, model)
     if args.fold_weight_norm:

@@ -193,11 +193,18 @@ def main():
     logger.close()
 
 
-def load_lm(path: str):
+def load_lm(path: str, expect_family: str | None = None,
+            expect_nq: int | None = None, expect_bins: int | None = None):
     """Rebuild ``(lm, variables, meta)`` from a ``train_lm`` checkpoint
     directory (or a direct ``lm_<step>`` path inside one). ``meta`` carries
     the non-constructor keys of lm_config.json (e.g. ``trained_frames``);
-    absent keys are simply missing from the dict (older checkpoints)."""
+    absent keys are simply missing from the dict (older checkpoints).
+
+    ``expect_family``/``expect_nq``/``expect_bins`` validate the checkpoint
+    against the codec it is about to code for — shared by every ``--lm``
+    CLI so a GRVQ-trained LM can't silently code RVQ streams (or crash with
+    an opaque flax shape error mid-file). A checkpoint with no recorded
+    family (older) passes the family check."""
     from academicodec_tpu.models.lm import RVQTokenLM
     from academicodec_tpu.utils.checkpoint import load_checkpoint, scan_checkpoint
 
@@ -213,6 +220,21 @@ def load_lm(path: str):
         cfg = json.load(fh)
     meta = {k: cfg.pop(k) for k in ("trained_frames", "family") if k in cfg}
     lm = RVQTokenLM(**cfg)
+    if expect_family is not None:
+        fam = meta.get("family")
+        if fam not in (None, expect_family):
+            raise ValueError(
+                f"LM checkpoint at {path} models '{fam}' token streams, not "
+                f"'{expect_family}' (train with cli/train_lm.py "
+                f"--family {expect_family})"
+            )
+    if (expect_nq is not None and lm.n_q != expect_nq) or (
+        expect_bins is not None and lm.bins != expect_bins
+    ):
+        raise ValueError(
+            f"LM shape mismatch: LM (n_q={lm.n_q}, bins={lm.bins}) vs codec "
+            f"(n_q={expect_nq}, bins={expect_bins})"
+        )
     variables = load_checkpoint(ckpt)
     return lm, variables, meta
 

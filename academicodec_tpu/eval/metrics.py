@@ -117,22 +117,49 @@ def evaluate_pair(
     """All metrics for one (degraded, reference) pair. ``external=True``
     includes PESQ (native; ~1 s/clip of host compute — the flag name is
     historical, from when it gated the external package). ``strict=True``
-    requires the external ITU cross-check to actually run (see
-    :func:`pesq_score`)."""
+    requires the external cross-checks to actually run for BOTH PESQ
+    (see :func:`pesq_score`) and STOI (pystoi, reported under
+    ``stoi_ext``/``estoi_ext``), and refuses to NaN-skip failures."""
     out = {"si_snr": si_snr(deg, ref), "mel_l1": mel_distance(deg, ref, sr)}
+    if strict:
+        try:  # pragma: no cover - absent in this image
+            from pystoi import stoi as ext_stoi
+        except ImportError:
+            raise RuntimeError(
+                "strict cross-check requested but the external 'pystoi' "
+                "package is not installed — native STOI cannot be "
+                "validated in this environment"
+            )
+    n = min(len(deg), len(ref))
     try:
         if estoi:
             # one shared front-end pass for both measures
             from academicodec_tpu.eval.stoi import stoi_and_estoi
 
-            n = min(len(deg), len(ref))
             out["stoi"], out["estoi"] = stoi_and_estoi(ref[:n], deg[:n], sr)
+        elif strict:
+            # under strict the main key must be the NATIVE score (the
+            # thing being validated); stoi_score would prefer pystoi when
+            # installed and the cross-check below would compare pystoi to
+            # itself
+            from academicodec_tpu.eval.stoi import stoi as native_stoi
+
+            out["stoi"] = float(native_stoi(ref[:n], deg[:n], sr))
         else:
             out["stoi"] = stoi_score(deg, ref, sr)
+        if strict:  # pragma: no cover - pystoi absent in this image
+            out["stoi_ext"] = float(ext_stoi(ref[:n], deg[:n], sr))
+            if estoi:
+                out["estoi_ext"] = float(
+                    ext_stoi(ref[:n], deg[:n], sr, extended=True)
+                )
     except ValueError:
         # too short / all-silent for the 384 ms STOI segments: record the
         # skip as NaN so aggregate reports disclose the excluded rows
-        # instead of averaging over a silently smaller subset
+        # instead of averaging over a silently smaller subset — unless
+        # strict, where a silent skip defeats the cross-check contract
+        if strict:
+            raise
         out["stoi"] = float("nan")
         if estoi:
             out["estoi"] = float("nan")

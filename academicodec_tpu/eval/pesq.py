@@ -190,34 +190,15 @@ def _envelope(x: np.ndarray, block: int) -> np.ndarray:
     return np.log10(1.0 + e)
 
 
-def _xcorr_delay(a: np.ndarray, b: np.ndarray) -> int:
-    """argmax_k Σ a[i] b[i+k]  (k may be negative): the shift of ``b``
-    relative to ``a`` with maximum correlation."""
-    n = len(a) + len(b) - 1
-    nfft = 1 << (n - 1).bit_length()
-    c = np.fft.irfft(
-        np.fft.rfft(b, nfft) * np.conj(np.fft.rfft(a, nfft)), nfft
-    )
-    k = int(np.argmax(np.concatenate([c[-(len(a) - 1):], c[: len(b)]])))
-    return k - (len(a) - 1)
-
-
-def _crude_align(ref: np.ndarray, deg: np.ndarray, block: int) -> int:
-    er = _envelope(ref, block)
-    ed = _envelope(deg, block)
-    er = er - er.mean()
-    ed = ed - ed.mean()
-    return _xcorr_delay(er, ed) * block
-
-
 def _crude_candidates(
     ref: np.ndarray, deg: np.ndarray, block: int, k: int = 3
 ) -> List[int]:
-    """Top-``k`` well-separated peaks of the envelope cross-correlation, in
-    sample units, best first. On near-periodic envelopes (steady syllabic
-    modulation) the single argmax can lock onto an envelope-period alias —
-    noise decides among near-equal peaks — so ``time_align`` scores each
-    candidate by fine-alignment confidence instead of trusting the argmax."""
+    """Top-``k`` well-separated peaks of the envelope cross-correlation
+    (lags k of Σ er[i]·ed[i+k], k may be negative), in sample units, best
+    first. On near-periodic envelopes (steady syllabic modulation) the
+    single argmax can lock onto an envelope-period alias — noise decides
+    among near-equal peaks — so ``time_align`` scores each candidate by
+    fine-alignment confidence instead of trusting the argmax."""
     er = _envelope(ref, block)
     ed = _envelope(deg, block)
     er = er - er.mean()
@@ -311,6 +292,7 @@ def _fine_align(
 def _align_split(
     ref: np.ndarray, deg: np.ndarray, s: int, e: int,
     crude: int, align_nfft: int, fs: int, depth: int = 0,
+    whole: Tuple[int, float] | None = None,
 ) -> List[Tuple[int, int, int]]:
     """P.862 utterance splitting for time-VARYING delay (ITU P.862 §10.2.4,
     'utterance splitting'; reference delegates to the pesq package which
@@ -320,8 +302,12 @@ def _align_split(
     utterance recursively splits at the best candidate point. A genuine
     change is required (≥ one downsample block apart); sample-level jitter
     between half-estimates never splits, so constant-delay material keeps
-    its single-utterance alignment bit-for-bit."""
-    d, conf = _fine_align(ref, deg, s, e, crude, align_nfft)
+    its single-utterance alignment bit-for-bit. ``whole`` optionally passes
+    a precomputed ``_fine_align(ref, deg, s, e, crude, ...)`` result so the
+    candidate-ranking pass in ``time_align`` is not repeated here."""
+    d, conf = whole if whole is not None else _fine_align(
+        ref, deg, s, e, crude, align_nfft
+    )
     if conf <= 1.5:  # flat histogram: keep the crude estimate
         d = crude
     min_half = max(2 * align_nfft, int(0.32 * fs))
@@ -360,19 +346,27 @@ def time_align(
         int(np.clip(c, -search, search))
         for c in _crude_candidates(ref, deg, block)
     ))
-    if len(cands) > 1:
-        crude = max(cands, key=lambda cr: sum(
-            _fine_align(ref, deg, s, e, cr, cfg["align_nfft"])[1]
+    # rank candidates by summed fine-alignment confidence, caching each
+    # per-utterance result — _align_split's top level reuses the winner's
+    # instead of recomputing the dominant-cost framewise FFT pass
+    fine: dict = {}
+
+    def _total_conf(cr: int) -> float:
+        return sum(
+            fine.setdefault(
+                (cr, s, e), _fine_align(ref, deg, s, e, cr, cfg["align_nfft"])
+            )[1]
             for (s, e) in utts
-        ))
-    else:
-        crude = cands[0]
+        )
+
+    crude = max(cands, key=_total_conf) if len(cands) > 1 else cands[0]
     out = []
     for (s, e) in utts:
         # (the residual-lag search inside is bounded by align_nfft/2; the
         # ±search clamp is applied to the result below)
         for (us, ue, d) in _align_split(ref, deg, s, e, crude,
-                                        cfg["align_nfft"], fs):
+                                        cfg["align_nfft"], fs,
+                                        whole=fine.get((crude, s, e))):
             out.append((us, ue, int(np.clip(d, -search, search))))
     return out
 

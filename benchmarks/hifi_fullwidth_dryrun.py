@@ -10,9 +10,13 @@ between runs so the AOT cache (/tmp/academicodec_tpu_xla_cache_dryrun) is
 shared with the driver's invocation.
 
 Usage: python benchmarks/hifi_fullwidth_dryrun.py [n_devices]
+(standalone runs insert the repo root on sys.path below; the driver path
+injects PYTHONPATH itself)
 """
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 n_devices = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 os.environ["XLA_FLAGS"] = (

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import time
 
 import jax
@@ -97,7 +98,8 @@ def main():
         model = EncodecTrainer(cfg).model
         payload = load_checkpoint(args.codec_ckpt)
         variables = {"params": payload["g_params"], **payload["g_extra"]}
-        n_q, bins, bits = model.n_q_for_bandwidth(args.target_bw), model.bins, 10
+        n_q, bins = model.n_q_for_bandwidth(args.target_bw), model.bins
+        bits = max(1, math.ceil(math.log2(bins)))
         hop = 240
 
         _enc = jax.jit(
@@ -117,7 +119,8 @@ def main():
         payload = load_checkpoint(args.codec_ckpt)
         variables = {"params": payload["g_params"], **payload["g_extra"]}
         hcfg = model.config
-        n_q, bins, bits = 2 * hcfg.n_code_groups, hcfg.n_codes, 10
+        n_q, bins = 2 * hcfg.n_code_groups, hcfg.n_codes
+        bits = max(1, math.ceil(math.log2(bins)))
         hop = int(np.prod(hcfg.upsample_rates))
         encode_bt = jax.jit(
             lambda v, w: model.apply(v, w, method=type(model).encode)

@@ -1,7 +1,9 @@
-"""Worker for the 2-process multi-host smoke test (tests/test_multihost.py).
+"""Worker for the multi-host smoke tests (tests/test_multihost.py).
 
-Each process is one "host" with 2 virtual CPU devices; together they form a
-4-device global data mesh. This executes the REAL multi-host code path the
+Each process is one "host" with 2 virtual CPU devices; the test runs the
+same fixed 8-row global batch at BOTH 2-process (4-device) and 4-process
+(8-device) topologies and asserts cross-topology loss agreement. This
+executes the REAL multi-host code path the
 single-process tests can't reach: ``jax.distributed.initialize`` over a local
 coordinator and ``shard_batch``'s ``make_array_from_process_local_data``
 branch (parallel/mesh.py), fed by the rank-aware ``batch_iterator`` slice —
