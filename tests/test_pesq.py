@@ -250,3 +250,22 @@ def test_strict_mode_raises_without_external_package(speech16):
     # non-strict keeps the round-3 behavior: native scores, no _ext keys
     out = pesq_score(speech16, speech16, 16000)
     assert "pesq_nb" in out and "pesq_nb_ext" not in out
+
+
+def test_strict_mode_covers_stoi_too(speech16):
+    """--strict must be strict about STOI as well as PESQ: a missing
+    pystoi raises (round-4 review finding — the STOI leg previously ran
+    native-only under strict with no error), and the raise happens before
+    any NaN-skip swallowing."""
+    from academicodec_tpu.eval.metrics import evaluate_pair
+
+    try:
+        import pystoi as _ext  # noqa: F401
+        pytest.skip("pystoi installed: strict mode would run it")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pystoi"):
+        evaluate_pair(speech16, speech16, 16000, external=False, strict=True)
+    # non-strict unchanged: native STOI, no _ext keys
+    out = evaluate_pair(speech16, speech16, 16000, external=False)
+    assert "stoi" in out and "stoi_ext" not in out
