@@ -59,9 +59,14 @@ class SoundStream(nn.Module):
         return int(math.log2(self.bins))
 
     def n_q_for_bandwidth(self, bw: Optional[float]) -> int:
+        # clamped to the quantizer's actual layer count: when bins != 1024
+        # the bandwidth floor can exceed n_q (whose reference formula,
+        # net3.py:25-26, hard-codes 10-bit codebooks) and the reference's
+        # ``layers[:n_q]`` slice clamps implicitly — encode emits at most
+        # n_q streams, so this helper must agree with it
         bw_per_q = math.log2(self.bins) * self.frame_rate / 1000
         if bw and bw > 0:
-            return int(max(1, math.floor(bw / bw_per_q)))
+            return int(min(self.n_q, max(1, math.floor(bw / bw_per_q))))
         return self.n_q
 
     def sample_n_q(self, rng: jax.Array) -> jnp.ndarray:

@@ -61,7 +61,11 @@ class ResidualVectorQuantizer(nn.Module):
         bw_per_q = self.get_bandwidth_per_quantizer(frame_rate)
         n_q = self.n_q
         if bandwidth and bandwidth > 0.0:
-            n_q = int(max(1, math.floor(bandwidth / bw_per_q)))
+            # min(self.n_q, ...): the stacked codebook has n_q layers, so
+            # encode can never emit more streams than that — the reference's
+            # ``self.layers[:n_q]`` (core_vq.py) clamps the same way via
+            # Python slicing
+            n_q = int(min(self.n_q, max(1, math.floor(bandwidth / bw_per_q))))
         return n_q
 
     def __call__(
