@@ -6,7 +6,8 @@ the round-3 in-process attempt aborted inside XLA:CPU after other large
 sharded graphs had compiled in the same process, while a fresh process
 compiles AND executes this graph cleanly at 4 and 8 virtual devices
 (round 4, loss_gen_all ~396.0 both sizes). Config must stay byte-identical
-between runs so the AOT cache (/tmp/academicodec_tpu_xla_cache_dryrun) is
+between runs so the AOT cache (repo-local benchmarks/xla_cache_dryrun*,
+persisted across driver sessions; ACADEMICODEC_DRYRUN_CACHE overrides) is
 shared with the driver's invocation.
 
 Usage: python benchmarks/hifi_fullwidth_dryrun.py [n_devices]
@@ -32,7 +33,11 @@ jax.config.update("jax_num_cpu_devices", n_devices)
 assert jax.devices()[0].platform == "cpu"
 
 from academicodec_tpu.utils.xla_cache import enable_persistent_cache
-enable_persistent_cache("/tmp/academicodec_tpu_xla_cache_dryrun")
+enable_persistent_cache(os.environ.get(
+    "ACADEMICODEC_DRYRUN_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "benchmarks", "xla_cache_dryrun"),
+))
 
 from academicodec_tpu.nn.hifigan import HiFiCodecConfig
 from academicodec_tpu.parallel import make_mesh, replicate, shard_batch

@@ -54,7 +54,7 @@ from academicodec_tpu.codec.lm_compress import (
 )
 from academicodec_tpu.train.lm import LMTrainConfig, LMTrainer
 from academicodec_tpu.utils.checkpoint import load_checkpoint
-from benchmarks.train_validation import speechlike_batch
+from benchmarks.train_validation import speechlike_batch, speechlike_batch_rich
 
 
 def main():
@@ -83,7 +83,12 @@ def main():
                    "every prefix length is in-distribution (a single-length "
                    "1 s LM coded 5 s streams at 11.0 bits/token — worse "
                    "than raw)")
+    p.add_argument("--corpus", choices=("legacy", "rich"), default="legacy",
+                   help="synthetic corpus for LM training AND held-out "
+                   "streams — must match the corpus the codec checkpoint "
+                   "was trained on (token statistics differ)")
     args = p.parse_args()
+    gen = speechlike_batch if args.corpus == "legacy" else speechlike_batch_rich
 
     from academicodec_tpu.utils.xla_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -136,7 +141,7 @@ def main():
     for secs in args.train_lengths:
         seg = (int(secs * sr) // hop) * hop
         for _ in range(per_len):
-            wav = jnp.asarray(speechlike_batch(rng, args.lm_batch, seg, sr))
+            wav = jnp.asarray(gen(rng, args.lm_batch, seg, sr))
             cache.append(
                 jnp.asarray(encode_bt(variables, wav)).astype(jnp.int32)
             )
@@ -165,7 +170,7 @@ def main():
         total_tokens = 0
         lm_won = 0
         for s in range(args.streams):
-            wav = jnp.asarray(speechlike_batch(held_rng, 1, seg, sr))
+            wav = jnp.asarray(gen(held_rng, 1, seg, sr))
             codes = np.asarray(encode_bt(variables, wav))[0].T.astype(np.int32)
             meta = dict(sr=sr, family=args.family)
             raw = compress_codes(codes, bits_per_codebook=bits, metadata=meta)

@@ -51,3 +51,45 @@ def test_evaluate_cli_json_out_is_strict_json(tmp_path, monkeypatch):
     # the clean pair still carries real scores and finite means
     assert data["mean"]["pesq_wb"] is not None
     assert data["mean"]["si_snr"] > 20.0
+
+
+def test_evaluate_cli_strict_with_injected_cross_check(tmp_path, monkeypatch):
+    """--strict end to end with fake external packages injected: the
+    availability gate passes, every row carries ``*_ext`` cross-check
+    keys, and the JSON report surfaces native and external side by side
+    (the presence branch is dead code in this image otherwise —
+    round-4 verdict #6)."""
+    import types
+
+    from academicodec_tpu.cli import evaluate as evaluate_cli
+
+    fake_pesq = types.ModuleType("pesq")
+    fake_pesq.pesq = lambda fs, ref, deg, mode="wb": 3.0 if mode == "wb" else 2.5
+    fake_pystoi = types.ModuleType("pystoi")
+    fake_pystoi.stoi = lambda ref, deg, fs, extended=False: 0.77
+    monkeypatch.setitem(sys.modules, "pesq", fake_pesq)
+    monkeypatch.setitem(sys.modules, "pystoi", fake_pystoi)
+
+    sr = 16000
+    ref_dir, deg_dir = tmp_path / "ref", tmp_path / "deg"
+    ref_dir.mkdir(), deg_dir.mkdir()
+    t = np.arange(sr) / sr
+    speech = (0.3 * np.sin(2 * np.pi * 220.0 * t)
+              * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * t))).astype(np.float32)
+    write_wav(str(ref_dir / "a.wav"), speech, sr)
+    write_wav(str(deg_dir / "a.wav"), speech, sr)
+
+    out_json = str(tmp_path / "metrics.json")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate", "--ref_dir", str(ref_dir), "--deg_dir", str(deg_dir),
+        "--sr", str(sr), "--strict", "--json_out", out_json,
+    ])
+    evaluate_cli.main()
+
+    data = json.loads(open(out_json).read())
+    row = data["per_file"][0]
+    # native main keys + external cross-check keys, side by side
+    assert row["pesq_wb"] > 4.0 and row["pesq_wb_ext"] == 3.0
+    assert row["pesq_nb_ext"] == 2.5
+    assert row["stoi"] > 0.999 and row["stoi_ext"] == 0.77
+    assert data["mean"]["pesq_wb_ext"] == 3.0

@@ -269,3 +269,88 @@ def test_strict_mode_covers_stoi_too(speech16):
     # non-strict unchanged: native STOI, no _ext keys
     out = evaluate_pair(speech16, speech16, 16000, external=False)
     assert "stoi" in out and "stoi_ext" not in out
+
+
+def _fake_pesq_module(nb=None, wb=None, raise_exc=None):
+    """Minimal stand-in for the external ITU 'pesq' package: exposes the
+    same ``pesq(fs, ref, deg, mode)`` surface eval/metrics.py imports."""
+    import types
+
+    mod = types.ModuleType("pesq")
+
+    def fake_pesq(fs, ref, deg, mode="wb"):
+        if raise_exc is not None:
+            raise raise_exc
+        assert fs == 16000 and len(ref) == len(deg)
+        return {"nb": nb, "wb": wb}[mode]
+
+    mod.pesq = fake_pesq
+    return mod
+
+
+def test_strict_presence_branch_agreement_passes(speech16, monkeypatch):
+    """The cross-check's PRESENCE branch (dead code in this image — no
+    'pesq' package): with an agreeing external implementation injected,
+    strict mode returns native scores under the main keys and the external
+    scores under ``*_ext``, and nothing raises (round-4 verdict #6 — the
+    day an ITU package IS available, the comparison path must be
+    known-functional)."""
+    import sys as _sys
+
+    from academicodec_tpu.eval.metrics import pesq_score
+
+    native = pesq_score(speech16, speech16, 16000)  # package absent: no _ext
+    assert "pesq_wb_ext" not in native
+    monkeypatch.setitem(
+        _sys.modules, "pesq",
+        _fake_pesq_module(nb=native["pesq_nb"], wb=native["pesq_wb"]),
+    )
+    out = pesq_score(speech16, speech16, 16000, strict=True)
+    assert out["pesq_nb"] == native["pesq_nb"]  # main keys stay native
+    assert out["pesq_wb"] == native["pesq_wb"]
+    assert out["pesq_nb_ext"] == pytest.approx(native["pesq_nb"])
+    assert out["pesq_wb_ext"] == pytest.approx(native["pesq_wb"])
+
+
+def test_strict_presence_branch_disagreement_is_surfaced(speech16, monkeypatch):
+    """A DISAGREEING external implementation must be visible side by side:
+    the ``*_ext`` keys carry the external values verbatim (they are not
+    averaged into, or overwritten by, the native scores), so any
+    systematic bias shows up in every report that includes them."""
+    import sys as _sys
+
+    from academicodec_tpu.eval.metrics import pesq_score
+
+    monkeypatch.setitem(
+        _sys.modules, "pesq", _fake_pesq_module(nb=1.21, wb=1.07)
+    )
+    out = pesq_score(speech16, speech16, 16000, strict=True)
+    # identical signals: native sits near the top of the scale...
+    assert out["pesq_nb"] > 4.0 and out["pesq_wb"] > 4.0
+    # ...while the injected external scores ride along untouched
+    assert out["pesq_nb_ext"] == pytest.approx(1.21)
+    assert out["pesq_wb_ext"] == pytest.approx(1.07)
+    assert abs(out["pesq_wb"] - out["pesq_wb_ext"]) > 3.0
+
+
+def test_strict_presence_branch_runtime_failure(speech16, monkeypatch):
+    """An external package that is INSTALLED but fails at runtime
+    (pesq raises NoUtterancesError etc.): strict propagates the failure;
+    non-strict discloses it as NaN ``*_ext`` keys without aborting the
+    native scores (eval/metrics.py pesq_score exception branch)."""
+    import math as _math
+    import sys as _sys
+
+    from academicodec_tpu.eval.metrics import pesq_score
+
+    class Boom(Exception):
+        pass
+
+    monkeypatch.setitem(
+        _sys.modules, "pesq", _fake_pesq_module(raise_exc=Boom("no utterances"))
+    )
+    with pytest.raises(Boom):
+        pesq_score(speech16, speech16, 16000, strict=True)
+    out = pesq_score(speech16, speech16, 16000)
+    assert out["pesq_nb"] > 4.0  # native leg unaffected
+    assert _math.isnan(out["pesq_nb_ext"]) and _math.isnan(out["pesq_wb_ext"])
