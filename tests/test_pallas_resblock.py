@@ -244,7 +244,17 @@ def test_gn_tower_matches_unfused(T, dtype):
 
 def test_encoder_fused_bundle_parity_and_tree():
     """Encoder fused_resblock: identical param tree, ~exact f32 output vs
-    the unfused accumulated-GroupNorm path."""
+    the unfused accumulated-GroupNorm path.
+
+    Subprocess-isolated (conftest.reinvoke_isolated): in round 5 this
+    compile segfaulted at ~65% of the full suite inside the XLA
+    compilation-cache read — the known state-dependent XLA:CPU crash
+    class (CLAUDE.md); it passes in any fresh process."""
+    from conftest import reinvoke_isolated
+
+    if not reinvoke_isolated(__file__, "test_encoder_fused_bundle_parity_and_tree",
+                             "ACT_ENC_FUSED_INNER"):
+        return
     from academicodec_tpu.nn.hifigan import HiFiGANEncoder
 
     cfg = HiFiCodecConfig(encoder_base_channels=16)
