@@ -112,4 +112,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except RuntimeError as e:
+        # A process killed while holding the TPU wedges the relay for ~1 min
+        # (CLAUDE.md): the next process fails backend init with "Backend
+        # 'axon' is not in the list of known backends". JAX caches the failed
+        # backend state in-process, so retry by re-exec'ing this script
+        # (bounded; the counter rides an env var).
+        import os
+        import sys
+
+        attempt = int(os.environ.get("ACADEMICODEC_BENCH_ATTEMPT", "0"))
+        msg = str(e).lower()
+        if attempt < 2 and ("backend" in msg or "axon" in msg):
+            print(f"bench: backend init failed ({e}); retrying in 75 s "
+                  f"(attempt {attempt + 1}/2)", file=sys.stderr, flush=True)
+            time.sleep(75)
+            os.environ["ACADEMICODEC_BENCH_ATTEMPT"] = str(attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
