@@ -83,7 +83,7 @@ def main():
                    "every prefix length is in-distribution (a single-length "
                    "1 s LM coded 5 s streams at 11.0 bits/token — worse "
                    "than raw)")
-    p.add_argument("--corpus", choices=("legacy", "rich"), default="legacy",
+    p.add_argument("--corpus", choices=("legacy", "rich"), default="rich",
                    help="synthetic corpus for LM training AND held-out "
                    "streams — must match the corpus the codec checkpoint "
                    "was trained on (token statistics differ)")

@@ -11,7 +11,8 @@ packages. ``--family encodec`` trains Encodec_24k_240d;
 ``--family hificodec`` trains HiFi-Codec-24k-320d (LS-GAN, GRVQ);
 ``--family soundstream`` trains SoundStream_24k_240d (encodec trainer with
 the soundstream recipe switches: mel 6..10, sim-in-feat, p=0.3 mixtures).
-``--corpus rich`` swaps in the enriched multi-speaker synthetic corpus.
+The enriched multi-speaker corpus (``--corpus rich``) is the default
+since round 5; ``--corpus legacy`` reproduces the rounds-2-4 tables.
 
 Usage:
     PYTHONPATH="/root/repo:/root/.axon_site" python benchmarks/train_validation.py \
@@ -152,12 +153,13 @@ def main():
     p.add_argument("--disc_start", type=int, default=100)
     p.add_argument("--family", choices=("encodec", "hificodec", "soundstream"),
                    default="encodec")
-    p.add_argument("--corpus", choices=("legacy", "rich"), default="legacy",
-                   help="synthetic corpus: 'legacy' is the round-2/3 AM "
-                        "multi-tone generator (kept for trajectory "
-                        "reproducibility); 'rich' adds speaker/prosody/"
-                        "formant/noise diversity (round-4 data-vs-model A/B "
-                        "for the HiFi-Codec PESQ plateau)")
+    p.add_argument("--corpus", choices=("legacy", "rich"), default="rich",
+                   help="synthetic corpus: 'rich' (default since round 5 — "
+                        "the headline-table substrate: speaker/prosody/"
+                        "formant/noise diversity, much higher STOI ceiling); "
+                        "'legacy' is the round-2/3 AM multi-tone generator, "
+                        "kept ONLY to reproduce the rounds-2-4 trajectory "
+                        "tables in BENCHMARKS.md")
     p.add_argument("--save_path", type=str, default=None,
                    help="directory to save the final generator checkpoint "
                         "(consumed by benchmarks/lm_compression_probe.py)")
