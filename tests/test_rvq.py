@@ -61,7 +61,22 @@ def test_rvq_encode_decode_token_parity():
 
 @requires_reference
 def test_rvq_forward_eval_parity():
-    """Eval-mode forward (quantized output) matches the reference."""
+    """Eval-mode forward (quantized output) matches the reference.
+
+    Subprocess-isolated (conftest.reinvoke_isolated): on the round-5 host
+    this test's FIRST tiny compile (jnp.ones via broadcast_in_dim)
+    segfaulted inside backend_compile_and_load ~77 min into the full
+    suite — the same state-dependent XLA:CPU crash class CLAUDE.md
+    documents for big-graph compiles; the victim is simply whichever
+    test compiles next once the process state is poisoned. Passes in any
+    fresh process."""
+    from tests.conftest import reinvoke_isolated
+
+    if not reinvoke_isolated(
+        "tests/test_rvq.py", "test_rvq_forward_eval_parity",
+        "ACADEMICODEC_ISOLATED_RVQ_FWD",
+    ):
+        return
     import torch
     from academicodec.quantization.core_vq import ResidualVectorQuantization as TorchRVQ
 
