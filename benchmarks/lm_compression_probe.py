@@ -90,8 +90,14 @@ def main():
     args = p.parse_args()
     gen = speechlike_batch if args.corpus == "legacy" else speechlike_batch_rich
 
+    import os
+
     from academicodec_tpu.utils.xla_cache import enable_persistent_cache
-    enable_persistent_cache()
+    # ACADEMICODEC_CACHE_BASE: give a concurrent CPU-side probe its own
+    # cache dir so it never shares write traffic with a running suite
+    enable_persistent_cache(
+        os.environ.get("ACADEMICODEC_CACHE_BASE", "/tmp/academicodec_tpu_xla_cache")
+    )
 
     sr = 24000
     if args.family == "encodec":
